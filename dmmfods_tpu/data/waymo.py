@@ -1,0 +1,234 @@
+"""Waymo dataset + host input pipeline.
+
+Keeps the storage-layout and crawling semantics of the reference
+(``dmmfods/datasets/WaymoData.py``): two storage modes — pre-batched
+``(32, 7, 128, 192)`` tensors (channels 0-2 RGB / 3 LiDAR / 4-6 heat maps,
+reference WaymoData.py:99-101) or one-file-per-sample directories — with a
+json file-list cache (WaymoData.py:31-45) and a loader exposing
+``train_loader`` / ``valid_loader`` / ``train_iterations`` /
+``valid_iterations`` (WaymoData.py:160-213).
+
+TPU-native replacements for the torch DataLoader machinery:
+  * samples come back as channel-LAST float32 numpy arrays ready for
+    ``jax.device_put`` (one transpose on the host, zero on device);
+  * a background-thread prefetcher (``PrefetchLoader``) overlaps host file
+    IO + decode with device compute — the moral successor of
+    ``num_workers=4, pin_memory=True`` (helper.py:136-143);
+  * both torch-serialized legacy files and ``.npy``/``.npz`` native files
+    load transparently.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from os import listdir
+from os.path import isdir, isfile, join
+from pathlib import Path
+
+import numpy as np
+
+from ..config import load_json_file, save_json_file
+
+
+def _load_array(path):
+    """Load one stored tensor: torch-pickled legacy file or numpy native."""
+    if path.endswith(".npy"):
+        return np.load(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return z[z.files[0]]
+    # legacy torch.save files (no extension in the reference layout)
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False).numpy()
+
+
+def _to_nhwc(batch_chw):
+    """(N, C, H, W) or (C, H, W) -> channel-last float32."""
+    a = np.asarray(batch_chw, np.float32)
+    if a.ndim == 4:
+        return np.transpose(a, (0, 2, 3, 1))
+    return np.transpose(a, (1, 2, 0))
+
+
+class WaymoDataset:
+    """File-list-backed dataset (reference ``WaymoDataset`` semantics)."""
+
+    def __init__(self, mode, config):
+        self.root = config.dir.data.root
+        self.data_is_batched = config.dataset.batch_size > 1
+        self.mode = mode
+
+        json_file_path = join(
+            config.dir.data.file_lists, mode + "_" + config.dataset.file_list_name
+        )
+
+        if isfile(json_file_path):
+            self.files = load_json_file(json_file_path)
+        else:
+            if self.data_is_batched:
+                if config.loader.batch_size is not None:
+                    raise ValueError(
+                        "config.loader.batch_size needs to be None if loading batched dataset"
+                    )
+                self.files = []
+                for subdir in sorted(listdir(join(self.root, mode))):
+                    entries = sorted(listdir(join(self.root, mode, subdir)))
+                    if "labels" in entries:
+                        entries.remove("labels")
+                    self.files += [join(mode, subdir, b) for b in entries]
+            else:
+                self.files = {dt: [] for dt in config.dataset.datatypes}
+                buckets = sorted(
+                    wb for wb in listdir(self.root) if wb.startswith("training_0")
+                )
+                for bucket in buckets:
+                    for tf_dir in sorted(listdir(join(self.root, bucket))):
+                        for datatype in config.dataset.datatypes:
+                            rel = join(bucket, tf_dir, mode, datatype)
+                            full = join(self.root, rel)
+                            if isdir(full):
+                                self.files[datatype] += [
+                                    join(rel, f) for f in sorted(listdir(full))
+                                ]
+                self._check_data_integrity()
+
+            Path(config.dir.data.file_lists).mkdir(exist_ok=True, parents=True)
+            save_json_file(json_file_path, self.files)
+
+    # -- access ------------------------------------------------------------
+
+    def get_batch(self, idx):
+        """One serialized (32, 7, 128, 192) file -> NHWC (image, lidar, ht_map)
+        (channel slicing per reference WaymoData.py:99-101)."""
+        batch = np.asarray(_load_array(join(self.root, self.files[idx])), np.float32)
+        nhwc = np.transpose(batch, (0, 2, 3, 1))
+        return nhwc[..., :3], nhwc[..., 3:4], nhwc[..., 4:]
+
+    def get_single_sample(self, idx):
+        image = _to_nhwc(_load_array(join(self.root, self.files["images"][idx])))
+        lidar = _to_nhwc(_load_array(join(self.root, self.files["lidar"][idx])))
+        ht_map = _to_nhwc(_load_array(join(self.root, self.files["heat_maps"][idx])))
+        return image, lidar, ht_map
+
+    def __getitem__(self, idx):
+        if self.data_is_batched:
+            return self.get_batch(idx)
+        return self.get_single_sample(idx)
+
+    def __len__(self):
+        if self.data_is_batched:
+            return len(self.files)
+        return len(self.files["images"])
+
+    def _check_data_integrity(self):
+        """Index-by-index filename suffix check (reference WaymoData.py:151-158)."""
+        for i in range(len(self)):
+            suffix = self.files["images"][i][-11:]
+            assert self.files["lidar"][i].endswith(suffix), (
+                f"{i} {self.files['lidar'][i]} {self.files['images'][i]}"
+            )
+            assert self.files["heat_maps"][i].endswith(suffix), (
+                f"{i} {self.files['heat_maps'][i]} {self.files['images'][i]}"
+            )
+
+
+class PrefetchLoader:
+    """Background-thread prefetching iterator over a dataset.
+
+    Replaces torch ``DataLoader(num_workers=4, pin_memory=True)``: IO +
+    decode + NHWC transpose run on loader threads while the device computes.
+    For batched storage each item IS a batch; for single-sample storage items
+    are stacked into ``batch_size`` groups (drop_last per config).
+    """
+
+    def __init__(self, dataset, batch_size=None, *, shuffle=False, depth=2,
+                 drop_last=False, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.depth = depth
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.dataset.data_is_batched or self.batch_size in (None, 1):
+            return n
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_groups(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        if self.dataset.data_is_batched or self.batch_size in (None, 1):
+            return [[i] for i in idx]
+        groups = [
+            idx[i:i + self.batch_size] for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and groups and len(groups[-1]) < self.batch_size:
+            groups.pop()
+        return groups
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        groups = self._index_groups()
+
+        def worker():
+            try:
+                for group in groups:
+                    items = [self.dataset[int(i)] for i in group]
+                    if len(items) == 1 and self.dataset.data_is_batched:
+                        q.put(items[0])
+                    elif len(items) == 1:
+                        q.put(tuple(a[None] for a in items[0]))
+                    else:
+                        q.put(tuple(np.stack(parts) for parts in zip(*items)))
+                q.put(None)
+            except BaseException as exc:  # surface loader errors to consumer
+                q.put(exc)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
+class WaymoDataset_Loader:
+    """Train/val/test loader bundle (reference WaymoData.py:160-213 surface)."""
+
+    def __init__(self, config):
+        self.mode = config.loader.mode
+        depth = config.get("tpu", {}).get("prefetch_depth", 2)
+
+        if self.mode == "train":
+            train_set = WaymoDataset("train", config)
+            valid_set = WaymoDataset("val", config)
+            self.train_loader = PrefetchLoader(
+                train_set, config.loader.batch_size, shuffle=True, depth=depth,
+                drop_last=config.loader.drop_last, seed=config.agent.seed,
+            )
+            self.valid_loader = PrefetchLoader(
+                valid_set, config.loader.batch_size, depth=depth,
+                drop_last=config.loader.drop_last,
+            )
+            self.train_iterations = len(self.train_loader)
+            self.valid_iterations = len(self.valid_loader)
+        elif self.mode == "test":
+            test_set = WaymoDataset("test", config)
+            self.valid_loader = PrefetchLoader(
+                test_set, config.loader.batch_size, depth=depth,
+                drop_last=config.loader.drop_last,
+            )
+            self.valid_iterations = len(self.valid_loader)
+        else:
+            raise ValueError("Please choose a one of the following modes: train, val, test")

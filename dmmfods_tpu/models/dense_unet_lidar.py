@@ -1,0 +1,638 @@
+"""Dense U-Net LiDAR — the flagship multi-modal heat-map detection model.
+
+TPU-native (NHWC, flax.linen, static shapes) re-design of the reference
+``dmmfods/graphs/models/Dense_U_Net_lidar.py``: a DenseNet encoder with an
+optional parallel LiDAR stream (no / early / mid fusion selected by the same
+config fields, reference model:57-65), a U-Net transposed-conv decoder fed by
+the encoder skip stack (model:102-132), and a refinement head emitting
+per-pixel multi-label class heat-map LOGITS (sigmoid is applied downstream).
+
+Channel arithmetic reproduces the reference exactly (verified by tests):
+for DenseNet-121 the skip stack is [128, 256, 512, 1024] + bottleneck 1024
+(model:81-95), decoder stage i reduces the 2x concat with a 1x1 conv then
+transposed-convs (k=3, s=2, p=1) to the recorded encoder shape (model:104-120,
+the ``output_size``-polymorphic call at model:261 — resolved *statically* here
+from the traced encoder shapes), and the head maps
+``128 + stream_1_ch + stream_2_ch -> 64 -> num_classes`` with 3x3 / 5x5 convs
+(model:123-132).
+
+Layout notes (TPU-first):
+  * activations NHWC, kernels HWIO — XLA tiles these directly onto the MXU;
+  * BatchNorm uses torch semantics (eps 1e-5, running-stat momentum 0.1 ==
+    flax momentum 0.9) so ported torchvision weights bit-match;
+  * transposed convs are expressed as ``lhs_dilation`` convs with padding
+    computed from the (static) encoder shape stack, so XLA sees one fused
+    conv instead of a dynamic-shape op;
+  * an optional ``remat`` flag wraps dense blocks in ``jax.checkpoint`` to
+    trade FLOPs for HBM at large batch/resolution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from ..ops.fused import concat_bn_relu_conv1x1
+from ..ops.normalization import TorchBatchNorm
+
+# ---------------------------------------------------------------------------
+# Model spec
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static architecture description, derived from ``config.model``.
+
+    Field defaults equal the reference config defaults (helper.py:111-123).
+    """
+
+    growth_rate: int = 32
+    block_config: Tuple[int, ...] = (6, 12, 24, 16)
+    num_init_features: int = 64
+    stream_1_in_channels: int = 3
+    stream_2_in_channels: int = 1
+    concat_before_block_num: int = 2
+    num_layers_before_blocks: int = 4
+    bn_size: int = 4
+    drop_rate: float = 0.0
+    num_classes: int = 3
+    memory_efficient: bool = False  # kept for config parity; remat supersedes it
+    dtype: Any = jnp.float32
+    remat: bool = False
+    use_fused_kernels: bool = False
+
+    @classmethod
+    def from_config(cls, config, **overrides):
+        m = config.model
+        kwargs = dict(
+            growth_rate=m.growth_rate,
+            block_config=tuple(m.block_config),
+            num_init_features=m.num_init_features,
+            stream_1_in_channels=m.stream_1_in_channels,
+            stream_2_in_channels=m.stream_2_in_channels,
+            concat_before_block_num=m.concat_before_block_num,
+            num_layers_before_blocks=m.num_layers_before_blocks,
+            bn_size=m.bn_size,
+            drop_rate=float(m.drop_rate),
+            num_classes=m.num_classes,
+            memory_efficient=m.memory_efficient,
+        )
+        tpu = config.get("tpu", {})
+        if tpu:
+            kwargs["dtype"] = jnp.dtype(tpu.get("compute_dtype", "float32"))
+            kwargs["remat"] = bool(tpu.get("remat", False))
+            kwargs["use_fused_kernels"] = bool(tpu.get("use_fused_kernels", False))
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    @property
+    def fusion(self) -> str:
+        """Fusion-mode dispatch — same rules as reference model:57-65."""
+        if self.concat_before_block_num == 1 and self.stream_2_in_channels == 0:
+            return "no"
+        if self.concat_before_block_num == 1 and self.stream_2_in_channels > 0:
+            return "early"
+        if 1 < self.concat_before_block_num <= len(self.block_config):
+            return "mid"
+        raise AttributeError(
+            f"invalid fusion config: concat_before_block_num="
+            f"{self.concat_before_block_num}, stream_2_in_channels={self.stream_2_in_channels}"
+        )
+
+    @property
+    def network_input_channels(self) -> int:
+        if self.fusion == "early":
+            return self.stream_1_in_channels + self.stream_2_in_channels
+        return self.stream_1_in_channels
+
+    def encoder_feature_sizes(self):
+        """Skip-stack channel widths + bottleneck width (reference model:81-95).
+
+        Returns ``(stack, bottleneck)``. ``stack[0]`` is the
+        ``num_init_features + 2*growth_rate`` entry the reference pushes first
+        (model:82) — it is consumed by the *last* decoder stage, so the final
+        transposed conv emits 128 channels for DenseNet-121.
+        """
+        sizes = [self.num_init_features + 2 * self.growth_rate]
+        num_features = self.num_init_features
+        for i, num_layers in enumerate(self.block_config):
+            num_features += num_layers * self.growth_rate
+            sizes.append(num_features)
+            if i != len(self.block_config) - 1:
+                num_features //= 2
+        bottleneck = sizes.pop()  # last block output
+        return sizes, bottleneck
+
+    def decoder_stage_features(self):
+        """Per-stage reduce-conv output widths, in application order.
+
+        Mirrors the pop order of the reference decoder construction
+        (model:104-119): for DenseNet-121 -> [1024, 512, 256, 128].
+        """
+        sizes, _ = self.encoder_feature_sizes()
+        return list(reversed(sizes))  # e.g. densenet121: [1024, 512, 256, 128]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+_BN_EPS = 1e-5  # torch BatchNorm2d default
+_CONV_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")  # kaiming_normal
+
+
+def _maxpool_3x3_s2_p1(x):
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0))
+    )
+
+
+def _avgpool_2x2_s2(x):
+    return (
+        lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID") / 4.0
+    ).astype(x.dtype)
+
+
+def _nearest_upsample_2x(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class DenseLayer(nn.Module):
+    """BN-ReLU-Conv1x1-BN-ReLU-Conv3x3 bottleneck layer emitting ``growth_rate``
+    new channels (torchvision ``_DenseLayer`` semantics)."""
+
+    growth_rate: int
+    bn_size: int
+    drop_rate: float
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        y = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.bn_size * self.growth_rate, (1, 1), use_bias=False,
+            kernel_init=_CONV_INIT, name="conv1", dtype=self.dtype,
+        )(y)
+        y = TorchBatchNorm(use_running_average=not train, name="norm2", dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.growth_rate, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=_CONV_INIT, name="conv2", dtype=self.dtype,
+        )(y)
+        if self.drop_rate > 0:
+            y = nn.Dropout(rate=self.drop_rate, deterministic=not train)(y)
+        return y
+
+
+class DenseBlock(nn.Module):
+    """Concatenating dense block (torchvision ``_DenseBlock`` semantics)."""
+
+    num_layers: int
+    growth_rate: int
+    bn_size: int
+    drop_rate: float
+    dtype: Any
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        layer_cls = DenseLayer
+        if self.remat:
+            layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
+        features = x
+        for i in range(self.num_layers):
+            new = layer_cls(
+                growth_rate=self.growth_rate,
+                bn_size=self.bn_size,
+                drop_rate=self.drop_rate,
+                dtype=self.dtype,
+                name=f"denselayer{i + 1}",
+            )(features, train)
+            features = jnp.concatenate([features, new], axis=-1)
+        return features
+
+
+class Transition(nn.Module):
+    """BN-ReLU-Conv1x1(half)-AvgPool2 (torchvision ``_Transition``)."""
+
+    num_output_features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = TorchBatchNorm(use_running_average=not train, name="norm", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.num_output_features, (1, 1), use_bias=False,
+            kernel_init=_CONV_INIT, name="conv", dtype=self.dtype,
+        )(x)
+        return _avgpool_2x2_s2(x)
+
+
+class EncoderStem(nn.Module):
+    """conv0(7x7, s2, p3) - norm0 - relu0 [- pool0 applied by caller]."""
+
+    num_init_features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.num_init_features, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+            use_bias=False, kernel_init=_CONV_INIT, name="conv0", dtype=self.dtype,
+        )(x)
+        x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class Encoder(nn.Module):
+    """DenseNet feature extractor up to (and excluding) the classifier.
+
+    ``up_to_block`` limits the depth: blocks 1..up_to_block-1 and transitions
+    1..up_to_block-1 are built — used verbatim for the LiDAR stream_2
+    (reference model:156-183). Full depth builds all blocks + transitions
+    (reference model:72-100; norm5/classifier intentionally absent,
+    reference drops them too).
+
+    Returns ``(features, skips, shapes)`` where ``skips`` are the dense-block
+    outputs except the last (reference model:250-252) and ``shapes`` the
+    spatial sizes recorded for the decoder (pre-pool0 + per-skip,
+    reference model:248-252).
+    """
+
+    spec: ModelSpec
+    in_channels: int
+    up_to_block: int | None = None  # None: full depth
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        spec = self.spec
+        x = EncoderStem(spec.num_init_features, spec.dtype, name="stem")(x, train)
+        shapes = [(x.shape[1], x.shape[2])]  # pre-pool0 spatial size (model:248-249)
+        x = _maxpool_3x3_s2_p1(x)
+
+        n_blocks = len(spec.block_config) if self.up_to_block is None else self.up_to_block - 1
+        skips = []
+        num_features = spec.num_init_features
+        for i in range(n_blocks):
+            num_layers = spec.block_config[i]
+            x = DenseBlock(
+                num_layers=num_layers,
+                growth_rate=spec.growth_rate,
+                bn_size=spec.bn_size,
+                drop_rate=spec.drop_rate,
+                dtype=spec.dtype,
+                remat=spec.remat,
+                name=f"denseblock{i + 1}",
+            )(x, train)
+            num_features += num_layers * spec.growth_rate
+            if self.up_to_block is None and i < len(spec.block_config) - 1:
+                skips.append(x)
+                shapes.append((x.shape[1], x.shape[2]))
+            if i != len(spec.block_config) - 1:
+                x = Transition(num_features // 2, spec.dtype, name=f"transition{i + 1}")(x, train)
+                num_features //= 2
+        return x, skips, shapes
+
+
+class ConcatFuse(nn.Module):
+    """Mid-fusion concat block: BN(2C)-ReLU-Conv1x1(2C -> C) over the channel
+    concat of the two streams (reference ``concat_module`` model:185-192).
+
+    With ``use_fused`` the concat is never materialized: the Pallas kernel
+    computes ``ReLU(BN(cat(a, b))) @ W`` as a sum of two matmuls.
+    """
+
+    num_features: int
+    dtype: Any
+    use_fused: bool = False
+
+    @nn.compact
+    def __call__(self, a, b, train: bool):
+        cat = jnp.concatenate([a, b], axis=-1)
+        bn = TorchBatchNorm(use_running_average=not train, name="norm", dtype=self.dtype)
+        conv = nn.Conv(
+            self.num_features, (1, 1), use_bias=False,
+            kernel_init=_CONV_INIT, name="conv", dtype=self.dtype,
+        )
+        if self.use_fused and not train:
+            # inference fast path: fold BN stats and run the fused kernel
+            stats = self.variables.get("batch_stats", None)
+            params = self.variables.get("params", None)
+            if stats is not None and params is not None and "norm" in stats:
+                return concat_bn_relu_conv1x1(
+                    a, b,
+                    scale=params["norm"]["scale"], bias=params["norm"]["bias"],
+                    mean=stats["norm"]["mean"], var=stats["norm"]["var"],
+                    kernel=params["conv"]["kernel"], eps=_BN_EPS,
+                )
+        x = bn(cat)
+        x = nn.relu(x)
+        return conv(x)
+
+
+class ConvTransposeToShape(nn.Module):
+    """Transposed conv (k=3, s=2, p=1) whose output spatial size is resolved
+    statically to ``target_hw`` — the XLA-friendly equivalent of the
+    reference's runtime ``output_size=`` call (model:261). Output padding is
+    derived per torch semantics: ``op = target - (2 * in - 1)``, must be 0/1.
+    Expressed as an ``lhs_dilation`` conv so XLA fuses it like any other conv.
+    Kernel stored HWIO (kh, kw, C_in, C_out), pre-flipped relative to torch
+    (the importer handles the flip + transpose).
+    """
+
+    features: int
+    dtype: Any
+    kernel_size: int = 3
+    stride: int = 2
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x, target_hw):
+        k, s, p = self.kernel_size, self.stride, self.pad
+        op_h = target_hw[0] - ((x.shape[1] - 1) * s - 2 * p + k)
+        op_w = target_hw[1] - ((x.shape[2] - 1) * s - 2 * p + k)
+        if not (0 <= op_h < s and 0 <= op_w < s):
+            raise ValueError(
+                f"requested output size {target_hw} unreachable from input "
+                f"{x.shape[1:3]} with stride {s} (output_padding {op_h},{op_w})"
+            )
+        kernel = self.param(
+            "kernel", _CONV_INIT, (k, k, x.shape[-1], self.features), jnp.float32
+        )
+        base = k - 1 - p
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((base, base + op_h), (base, base + op_w)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y
+
+
+class DecoderStage(nn.Module):
+    """One U-Net decoder stage: BN-ReLU-Conv1x1(reduce)-BN-ReLU then a
+    transposed conv to the recorded skip shape (reference model:108-118)."""
+
+    features: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, target_hw, train: bool):
+        x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.features, (1, 1), use_bias=False,
+            kernel_init=_CONV_INIT, name="conv_reduce", dtype=self.dtype,
+        )(x)
+        x = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return ConvTransposeToShape(self.features, self.dtype, name="transp_conv")(x, target_hw)
+
+
+class Head(nn.Module):
+    """Final refinement to heat-map logits: BN-ReLU-Conv3x3-BN-ReLU-Conv5x5
+    over the concat of decoder output and raw network input
+    (reference ``dec_out_to_heat_maps`` model:123-132)."""
+
+    mid_features: int
+    num_classes: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.mid_features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
+            kernel_init=_CONV_INIT, name="refine0", dtype=self.dtype,
+        )(x)
+        x = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Conv(
+            self.num_classes, (5, 5), padding=((2, 2), (2, 2)), use_bias=False,
+            kernel_init=_CONV_INIT, name="refine1", dtype=self.dtype,
+        )(x)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+
+class DenseUNetLidar(nn.Module):
+    """The full dual-stream Dense U-Net (see module docstring).
+
+    ``__call__(rgb, lidar, train)`` takes NHWC inputs —
+    ``rgb: (B, H, W, stream_1_in_channels)``,
+    ``lidar: (B, H, W, stream_2_in_channels)`` (ignored for 'no' fusion) —
+    and returns ``(B, H, W, num_classes)`` logits. H and W must reduce
+    cleanly through 5 stride-2 stages (e.g. multiples of 32).
+    """
+
+    spec: ModelSpec
+
+    @nn.compact
+    def __call__(self, stream_1_data, stream_2_data=None, train: bool = False):
+        spec = self.spec
+        fusion = spec.fusion
+        dt = spec.dtype
+        stream_1_data = stream_1_data.astype(dt)
+        if stream_2_data is not None:
+            stream_2_data = stream_2_data.astype(dt)
+
+        # fusion dispatch (reference model:224-235)
+        if fusion == "no":
+            raw_skip = stream_1_data
+            enc_in = stream_1_data
+        elif fusion == "early":
+            raw_skip = jnp.concatenate([stream_1_data, stream_2_data], axis=-1)
+            enc_in = raw_skip
+        else:  # mid
+            raw_skip = jnp.concatenate([stream_1_data, stream_2_data], axis=-1)
+            enc_in = stream_1_data
+
+        # encoder (+ parallel stream_2 up to the fusion point for 'mid')
+        if fusion == "mid":
+            s2, _, _ = Encoder(
+                spec, spec.stream_2_in_channels,
+                up_to_block=spec.concat_before_block_num,
+                name="stream_2_features",
+            )(stream_2_data, train)
+
+        x, skips, shapes = self._encode_with_fusion(
+            enc_in, s2 if fusion == "mid" else None, train
+        )
+
+        # decoder (reference model:255-261); skip/shape stacks pop LIFO
+        stage_features = spec.decoder_stage_features()
+        for i, feats in enumerate(stage_features):
+            if i > 0:
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = DecoderStage(feats, dt, name=f"up{i + 1}")(x, shapes.pop(), train)
+        assert not skips and not shapes
+
+        x = _nearest_upsample_2x(x)  # reference model:120
+
+        # head over concat with the raw input (reference model:264-265)
+        x = jnp.concatenate([x, raw_skip], axis=-1)
+        x = Head(stage_features[-1] // 2, spec.num_classes, dt, name="dec_out_to_heat_maps")(
+            x, train
+        )
+        return x
+
+    def _encode_with_fusion(self, enc_in, s2, train):
+        """Main-stream encoder with the mid-fusion concat inserted right after
+        ``transition{concat_before_block_num - 1}`` (reference model:53,242-245)."""
+        spec = self.spec
+        x = EncoderStem(spec.num_init_features, spec.dtype, name="features_stem")(enc_in, train)
+        shapes = [(x.shape[1], x.shape[2])]
+        x = _maxpool_3x3_s2_p1(x)
+
+        skips = []
+        num_features = spec.num_init_features
+        for i, num_layers in enumerate(spec.block_config):
+            x = DenseBlock(
+                num_layers=num_layers,
+                growth_rate=spec.growth_rate,
+                bn_size=spec.bn_size,
+                drop_rate=spec.drop_rate,
+                dtype=spec.dtype,
+                remat=spec.remat,
+                name=f"features_denseblock{i + 1}",
+            )(x, train)
+            num_features += num_layers * spec.growth_rate
+            if i < len(spec.block_config) - 1:
+                skips.append(x)
+                shapes.append((x.shape[1], x.shape[2]))
+                x = Transition(num_features // 2, spec.dtype, name=f"features_transition{i + 1}")(
+                    x, train
+                )
+                num_features //= 2
+                if s2 is not None and (i + 1) == spec.concat_before_block_num - 1:
+                    assert x.shape == s2.shape, f"{x.shape} vs {s2.shape}"  # model:243
+                    x = ConcatFuse(
+                        num_features, spec.dtype,
+                        use_fused=spec.use_fused_kernels, name="concat_module",
+                    )(x, s2, train)
+        return x, skips, shapes
+
+
+# ---------------------------------------------------------------------------
+# Public constructors (reference model:311-388)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """Module + initialized variables + config: the JAX-idiomatic stand-in for
+    the reference's stateful ``nn.Module`` instance."""
+
+    module: DenseUNetLidar
+    variables: Any
+    config: Any
+    spec: ModelSpec
+
+    @property
+    def num_params(self) -> int:
+        return sum(x.size for x in jax.tree_util.tree_leaves(self.variables["params"]))
+
+    def apply(self, rgb, lidar=None, train=False, variables=None, **kwargs):
+        variables = variables if variables is not None else self.variables
+        if train:
+            return self.module.apply(
+                variables, rgb, lidar, True, mutable=["batch_stats"], **kwargs
+            )
+        return self.module.apply(variables, rgb, lidar, False, **kwargs)
+
+
+def _dense_u_net_lidar(arch, growth_rate, block_config, num_init_features,
+                       pretrained, progress, config, *, init_hw=None, seed=None,
+                       state_dict=None, lazy=False):
+    """Create a model bundle (reference ``_dense_u_net_lidar`` model:311-332).
+
+    ``pretrained`` loads torchvision DenseNet weights into the encoder
+    stream(s) via :mod:`dmmfods_tpu.models.torch_port`. With no network
+    egress, pass the downloaded torch ``state_dict`` explicitly or set
+    ``config.model.pretrained_path`` to a local ``.pth`` file.
+    ``lazy`` skips parameter initialization (shape-only uses).
+    """
+    from ..config import get_config
+
+    if config is None:
+        config = get_config()
+
+    # for compatibility with densenet original constructors (model:323-325)
+    config.model.growth_rate = growth_rate
+    config.model.block_config = block_config
+    config.model.num_init_features = num_init_features
+
+    spec = ModelSpec.from_config(config)
+    module = DenseUNetLidar(spec)
+
+    variables = None
+    if not lazy:
+        if init_hw is None:
+            # config.dataset.images.size is (C, W, H) per the reference
+            _, w, h = config.dataset.images.size
+            init_hw = (h, w)
+        seed = config.agent.seed if seed is None else seed
+        rgb = jnp.zeros((1, init_hw[0], init_hw[1], spec.stream_1_in_channels), spec.dtype)
+        lidar = (
+            jnp.zeros((1, init_hw[0], init_hw[1], spec.stream_2_in_channels), spec.dtype)
+            if spec.stream_2_in_channels > 0
+            else None
+        )
+        # eager init: runs once, avoids an XLA compile of the full graph
+        variables = module.init(jax.random.PRNGKey(seed), rgb, lidar, False)
+
+        if pretrained:
+            from .torch_port import load_torchvision_encoder
+
+            if state_dict is None:
+                path = config.model.get("pretrained_path", None)
+                if path is None:
+                    raise FileNotFoundError(
+                        "pretrained=True needs either `state_dict=` or "
+                        "config.model.pretrained_path pointing at a local "
+                        f"torchvision {arch} checkpoint (no network egress)."
+                    )
+                import torch
+
+                state_dict = torch.load(path, map_location="cpu")
+            variables = load_torchvision_encoder(variables, state_dict, spec)
+
+    return ModelBundle(module=module, variables=variables, config=config, spec=spec)
+
+
+def densenet121_u_lidar(pretrained=False, progress=True, config=None, **kwargs):
+    """Densenet-121 backbone variant (reference model:335-346)."""
+    return _dense_u_net_lidar("densenet121", 32, (6, 12, 24, 16), 64,
+                              pretrained, progress, config, **kwargs)
+
+
+def densenet161_u_lidar(pretrained=False, progress=True, config=None, **kwargs):
+    """Densenet-161 backbone variant (reference model:349-360)."""
+    return _dense_u_net_lidar("densenet161", 48, (6, 12, 36, 24), 96,
+                              pretrained, progress, config, **kwargs)
+
+
+def densenet169_u_lidar(pretrained=False, progress=True, config=None, **kwargs):
+    """Densenet-169 backbone variant (reference model:363-374)."""
+    return _dense_u_net_lidar("densenet169", 32, (6, 12, 32, 32), 64,
+                              pretrained, progress, config, **kwargs)
+
+
+def densenet201_u_lidar(pretrained=False, progress=True, config=None, **kwargs):
+    """Densenet-201 backbone variant (reference model:377-388)."""
+    return _dense_u_net_lidar("densenet201", 32, (6, 12, 48, 32), 64,
+                              pretrained, progress, config, **kwargs)

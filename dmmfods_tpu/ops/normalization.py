@@ -1,0 +1,62 @@
+"""BatchNorm with exact torch semantics.
+
+``flax.linen.BatchNorm`` updates its running variance with the *biased*
+batch variance; ``torch.nn.BatchNorm2d`` normalizes with the biased variance
+but tracks the running EMA with the *unbiased* (Bessel-corrected) one. The
+north star requires bit-matching heat-map outputs against torch-trained
+checkpoints, so this module reproduces torch exactly:
+
+  train:  y = (x - mean_b) / sqrt(var_biased + eps) * scale + bias
+          running_mean <- m * running_mean + (1 - m) * mean_b
+          running_var  <- m * running_var  + (1 - m) * var_unbiased
+  eval:   y = (x - running_mean) / sqrt(running_var + eps) * scale + bias
+
+with ``m = 0.9`` (torch ``momentum=0.1`` in its 1-m convention) and
+``eps = 1e-5``. Channel axis is the last axis (NHWC).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+
+class TorchBatchNorm(nn.Module):
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        initializing = self.is_mutable_collection("params")
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            reduce_axes = tuple(range(x.ndim - 1))
+            n = x.size // features
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not initializing:
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
+
+        inv = lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(self.dtype)

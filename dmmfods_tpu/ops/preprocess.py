@@ -1,0 +1,277 @@
+"""Device-side Waymo preprocessing math, vectorized for TPU.
+
+Re-implements, as fixed-shape jnp programs, the per-sample Python loops of the
+reference offline ETL (``dmmfods/utils/Dense_U_Net_lidar_helper.py``):
+
+* bbox -> class heat-map rasterization (reference ``create_ground_truth_maps``
+  helper.py:276-305 and the pedestrian silhouette prior helper.py:233-252),
+* LiDAR point splat into an image-plane range image (reference
+  ``lidar_array_to_image_like_tensor`` helper.py:493-515),
+* LiDAR distance inversion / binning / pooling (reference
+  ``pool_lidar_tensor`` helper.py:446-491),
+* 10x avg/max downsizing pools (reference helper.py:430-444).
+
+Everything here is pure, static-shape, jit-able, and vmap-able; variable-length
+box/point lists are carried as fixed-size padded buffers. Layout is
+channel-LAST (H, W, C) — the TPU-native layout — whereas the reference stores
+(C, H, W).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# Waymo label types (reference helper.py:162-168)
+TYPE_VEHICLE = 1
+TYPE_PEDESTRIAN = 2
+TYPE_CYCLIST = 4
+
+# class -> heat-map channel remap {1,2,4} -> {0,1,2} (reference helper.py:301)
+_CLASS_TO_CHANNEL = {TYPE_VEHICLE: 0, TYPE_PEDESTRIAN: 1, TYPE_CYCLIST: 2}
+
+
+# ---------------------------------------------------------------------------
+# Ground-truth heat-map rasterization
+# ---------------------------------------------------------------------------
+
+
+def _pedestrian_template_value(row_rel, col_rel, height, width):
+    """Silhouette-prior value at box-relative integer coords.
+
+    Mirrors the region fills of the reference pedestrian prior
+    (helper.py:233-252): a box of ones with
+      rows [0, h//5)  x cols [0, w//4) and [3*w//4, w): 0.3   (head corners)
+      rows [3*h//5,h) x cols [0, w//4) and [3*w//4, w): 0.5   (leg corners)
+      rows [3*h//5,h) x cols [w//4, 3*w//4):            0.75  (legs)
+    everything else 1.0.
+    """
+    hf = height // 5
+    wf = width // 4
+    top = row_rel < hf
+    bottom = row_rel >= 3 * hf
+    left = col_rel < wf
+    right = col_rel >= 3 * wf
+    side = left | right
+
+    value = jnp.ones_like(row_rel, dtype=jnp.float32)
+    value = jnp.where(top & side, 0.3, value)
+    value = jnp.where(bottom & side, 0.5, value)
+    value = jnp.where(bottom & ~side, 0.75, value)
+    return value
+
+
+def rasterize_heatmaps(boxes, height=1280, width=1920, *, num_classes=3):
+    """Rasterize padded boxes into ``(height, width, num_classes)`` heat maps.
+
+    Args:
+      boxes: int32 ``(N, 5)`` rows ``[type, x, y, w, h]`` with ``x, y`` the
+        upper-left corner in pixels; rows with ``type`` not in {1, 2, 4} are
+        ignored (use type 0 for padding). Matches the label-dict fields
+        produced by the reference converter (helper.py:633-639).
+      height/width: raster resolution (the reference rasterizes at the full
+        1280x1920 camera resolution, then 10x max-pools; see
+        ``rasterize_heatmaps_pooled``).
+
+    Semantics match reference ``create_ground_truth_maps`` (helper.py:276-305)
+    exactly, including its *overwrite* behavior: boxes are applied in array
+    order and a later box overwrites earlier values inside its rectangle
+    (relevant for overlapping pedestrians whose corner prior is < 1).
+    """
+    boxes = jnp.asarray(boxes, jnp.int32)
+    rows = lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (height, width), 1)
+
+    def apply_box(maps, box):
+        btype, x, y, w, h = box[0], box[1], box[2], box[3], box[4]
+        in_box = (rows >= y) & (rows < y + h) & (cols >= x) & (cols < x + w)
+
+        ped = _pedestrian_template_value(rows - y, cols - x, h, w)
+        fill = jnp.where(btype == TYPE_PEDESTRIAN, ped, 1.0)
+
+        channel = jnp.where(
+            btype == TYPE_VEHICLE, 0, jnp.where(btype == TYPE_PEDESTRIAN, 1, 2)
+        )
+        valid = (btype == TYPE_VEHICLE) | (btype == TYPE_PEDESTRIAN) | (btype == TYPE_CYCLIST)
+
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (maps.shape[-1],), 0) == channel
+        ) & valid
+        write = in_box[:, :, None] & onehot[None, None, :]
+        maps = jnp.where(write, fill[:, :, None], maps)
+        return maps, None
+
+    init = jnp.zeros((height, width, num_classes), jnp.float32)
+    maps, _ = lax.scan(apply_box, init, boxes)
+    return maps
+
+
+def maxpool2d(x, window, stride=None):
+    """Channel-last max pool, VALID padding (torch MaxPool2d default)."""
+    if isinstance(window, int):
+        window = (window, window)
+    stride = stride or window
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(window[0], window[1], 1),
+        window_strides=(stride[0], stride[1], 1),
+        padding="VALID",
+    )
+
+
+def avgpool2d(x, window, stride=None):
+    """Channel-last average pool, VALID padding (torch AvgPool2d default)."""
+    if isinstance(window, int):
+        window = (window, window)
+    stride = stride or window
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    summed = lax.reduce_window(
+        x,
+        0.0,
+        lax.add,
+        window_dimensions=(window[0], window[1], 1),
+        window_strides=(stride[0], stride[1], 1),
+        padding="VALID",
+    )
+    return summed / (window[0] * window[1])
+
+
+def rasterize_heatmaps_pooled(boxes, height=1280, width=1920, pool=10):
+    """Full-res rasterize + ``pool``x max-pool, as stored by the reference ETL
+    (helper.py:643-646): ``maxpool_tensor(create_ground_truth_maps(labels))``.
+    Returns ``(height//pool, width//pool, 3)``.
+    """
+    return maxpool2d(rasterize_heatmaps(boxes, height, width), pool)
+
+
+# ---------------------------------------------------------------------------
+# LiDAR range image
+# ---------------------------------------------------------------------------
+
+
+def lidar_points_to_range_image(
+    points, num_valid, height=1280, width=1920, kernel_size=5, *, mode="last"
+):
+    """Splat projected LiDAR points into a ``(height, width, 1)`` range image.
+
+    Args:
+      points: float32 ``(N, 3)`` rows ``[x, y, distance]`` (image-plane pixel
+        coords + range), zero-padded to fixed N.
+      num_valid: scalar int, number of valid rows in ``points``.
+      kernel_size: splat footprint (reference default 5; helper.py:493).
+      mode: ``'last'`` reproduces the reference sequential-overwrite semantics
+        (helper.py:503-513: the last point in array order wins on overlap);
+        ``'nearest'`` keeps the closest point instead — physically preferable
+        and cheaper (single scatter-min), used by the device-side fast path.
+
+    Empty pixels are ``-1.0`` as in the reference (helper.py:501). The
+    reference's slice clamping means the last row and column are never
+    written (``max_y = shape-1`` exclusive, helper.py:507-511); reproduced.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    shift = (kernel_size - 1) // 2
+
+    # int() in the reference truncates toward zero
+    px = jnp.trunc(points[:, 0]).astype(jnp.int32)
+    py = jnp.trunc(points[:, 1]).astype(jnp.int32)
+    d = points[:, 2]
+    valid = (
+        lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < num_valid
+    )
+
+    if mode == "nearest":
+        # scatter-min of distance; +inf init, then -1 for untouched pixels
+        img = jnp.full((height, width), jnp.inf, jnp.float32)
+        for dy in range(-shift, shift + 1):
+            for dx in range(-shift, shift + 1):
+                ty = py + dy
+                tx = px + dx
+                ok = valid & (ty >= 0) & (ty <= height - 2) & (tx >= 0) & (tx <= width - 2)
+                ty = jnp.where(ok, ty, 0)
+                tx = jnp.where(ok, tx, 0)
+                val = jnp.where(ok, d, jnp.inf)
+                img = img.at[ty, tx].min(val, mode="drop")
+        img = jnp.where(jnp.isinf(img), -1.0, img)
+        return img[:, :, None]
+
+    if mode != "last":
+        raise ValueError(f"unknown splat mode {mode!r}")
+
+    # 'last' (reference parity): scatter-max of the point *index*, then gather
+    # that winner's distance. Later points have larger indices, so max-index
+    # == last-written, reproducing sequential overwrite.
+    order = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    winner = jnp.full((height, width), -1, jnp.int32)
+    for dy in range(-shift, shift + 1):
+        for dx in range(-shift, shift + 1):
+            ty = py + dy
+            tx = px + dx
+            ok = valid & (ty >= 0) & (ty <= height - 2) & (tx >= 0) & (tx <= width - 2)
+            ty = jnp.where(ok, ty, 0)
+            tx = jnp.where(ok, tx, 0)
+            key = jnp.where(ok, order, -1)
+            winner = winner.at[ty, tx].max(key, mode="drop")
+    img = jnp.where(winner >= 0, d[jnp.clip(winner, 0, n - 1)], -1.0)
+    return img[:, :, None]
+
+
+LIDAR_MAX_RANGE = 75.0
+
+
+def bin_lidar_range(x):
+    """Invert + bin raw distances, reference semantics (helper.py:446-478):
+
+      d > 75       -> 75          (clip; waymo mid-range truncation)
+      d == -1      -> 76          (empty marker)
+      d <= 25      -> d * -6.2 + 255   (155 bins for the close [0, 25m])
+      25 < d <= 76 -> d * -2 + 150     (100 bins for (25m, 75m]; empty -> -2)
+    """
+    x = jnp.where(x > LIDAR_MAX_RANGE, LIDAR_MAX_RANGE, x)
+    x = jnp.where(x == -1.0, LIDAR_MAX_RANGE + 1.0, x)
+    close = x * -6.2 + 255.0
+    far = x * -2.0 + 150.0
+    return jnp.where(x <= 25.0, close, far)
+
+
+def pool_lidar_image(range_image):
+    """Bin + (20, 10)/s(10, 10) max-pool + replicate-pad + clamp-negatives.
+
+    Matches reference ``pool_lidar_tensor`` (helper.py:446-491): the (20, 10)
+    receptive field (> stride) swallows empty pixels between scan lines; the
+    one-row bottom replicate pad restores 128 rows; leftover empty (-2) values
+    become 0. Input ``(1280, 1920, 1)`` -> output ``(128, 192, 1)``.
+    """
+    x = bin_lidar_range(range_image)
+    x = maxpool2d(x, (20, 10), (10, 10))
+    x = jnp.concatenate([x, x[-1:, :, :]], axis=0)  # replicate-pad bottom row
+    return jnp.where(x < 0.0, 0.0, x)
+
+
+def lidar_points_to_model_input(points, num_valid, height=1280, width=1920, *, mode="last"):
+    """Full device-side LiDAR path: splat -> bin -> pool. -> (H/10, W/10, 1)."""
+    return pool_lidar_image(
+        lidar_points_to_range_image(points, num_valid, height, width, mode=mode)
+    )
+
+
+def downsize_image(img):
+    """10x avg-pool for RGB storage downsizing (reference helper.py:430-436).
+    ``(H, W, C)`` -> ``(H//10, W//10, C)``."""
+    return avgpool2d(img, 10)
+
+
+# Batched convenience wrappers -------------------------------------------------
+
+rasterize_heatmaps_batch = jax.vmap(rasterize_heatmaps_pooled, in_axes=(0,))
+lidar_batch_to_model_input = jax.vmap(
+    functools.partial(lidar_points_to_model_input), in_axes=(0, 0)
+)

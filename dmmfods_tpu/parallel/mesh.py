@@ -1,0 +1,102 @@
+"""Device mesh + sharding rules — the distributed backend.
+
+The reference has no multi-device execution at all (its
+``torch.distributed`` import is dead code, reference
+``Dense_U_Net_lidar.py:7``; SURVEY.md §2.3/§2.4). This module is the
+first-class TPU-native replacement: a ``jax.sharding.Mesh`` with a ``data``
+axis (batch / data parallelism over ICI) and a ``model`` axis
+(output-channel tensor parallelism for the wide decoder convs), plus helpers
+that produce ``NamedSharding`` trees for params, optimizer state and batches.
+XLA inserts the collectives (gradient ``psum`` over ``data``, activation
+``all_gather`` around channel-sharded convs) from these annotations.
+
+Multi-host: ``initialize_distributed`` wraps ``jax.distributed.initialize``
+so the same mesh spans slices over DCN.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host bring-up (no-op when single-process)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
+def make_mesh(config=None, *, data=None, model=None, devices=None) -> Mesh:
+    """Build a ``(data, model)`` mesh from ``config.tpu.mesh`` or overrides.
+
+    ``data == -1`` (default) consumes all devices left after the ``model``
+    axis. Axis order puts ``model`` innermost so tensor-parallel collectives
+    ride the fastest ICI links.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if config is not None:
+        mesh_cfg = config.tpu.mesh
+        data = mesh_cfg.data if data is None else data
+        model = mesh_cfg.model if model is None else model
+    model = 1 if model in (None, -1) else int(model)
+    data = int(data) if data not in (None, -1) else n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch axis over ``data``; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def batch_spec() -> P:
+    return P("data")
+
+
+def param_partition_spec(path_names, leaf, mesh: Mesh, threshold: int = 256) -> P:
+    """Tensor-parallel rule for one param leaf.
+
+    Conv kernels are HWIO; shard the O (output-channel) axis over ``model``
+    when it is wide enough and divisible. Everything else (BN scales, narrow
+    convs) is replicated — at this model scale replication is free and keeps
+    collectives off the critical path.
+    """
+    model_size = mesh.shape["model"]
+    if model_size == 1:
+        return P()
+    if leaf.ndim == 4 and path_names and path_names[-1] == "kernel":
+        out_ch = leaf.shape[-1]
+        if out_ch >= threshold and out_ch % model_size == 0:
+            return P(None, None, None, "model")
+    return P()
+
+
+def make_param_shardings(params, mesh: Mesh, threshold: int = 256):
+    """``NamedSharding`` tree for a param/batch-stats pytree."""
+
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        return NamedSharding(mesh, param_partition_spec(names, leaf, mesh, threshold))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch onto the mesh, sharded over ``data``."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return int(math.ceil(n / m) * m)

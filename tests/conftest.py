@@ -1,0 +1,45 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Multi-device sharding is validated on a host-platform mesh
+(``--xla_force_host_platform_device_count=8``) — the idiomatic JAX "fake
+backend" (SURVEY.md §4). Must run before jax initializes a backend, hence the
+env mutation at import time. Matmul precision is raised to ``highest`` so
+parity tests against torch are tight.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tiny_config(tmp_path_factory):
+    """A small-architecture config for fast CPU tests."""
+    from dmmfods_tpu.config import get_config
+
+    cfg = get_config(str(tmp_path_factory.mktemp("host")))
+    cfg.tpu.compute_dtype = "float32"
+    cfg.model.growth_rate = 8
+    cfg.model.block_config = (2, 2, 2, 2)
+    cfg.model.num_init_features = 16
+    return cfg
+
+
+@pytest.fixture(scope="session")
+def full_config(tmp_path_factory):
+    """Reference-default architecture config (DenseNet-121 mid fusion)."""
+    from dmmfods_tpu.config import get_config
+
+    cfg = get_config(str(tmp_path_factory.mktemp("host_full")))
+    cfg.tpu.compute_dtype = "float32"
+    return cfg

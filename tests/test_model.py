@@ -1,0 +1,228 @@
+"""Model architecture tests.
+
+Checks the Dense U-Net against the reference's channel arithmetic
+(SURVEY.md §3.4, reference model:81-132) via an *independent* analytic
+parameter counter, verifies all fusion modes, and pins component semantics
+(conv / transposed conv / pooling / BatchNorm) against plain torch oracles.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from dmmfods_tpu.models.dense_unet_lidar import (
+    ConvTransposeToShape,
+    DenseUNetLidar,
+    ModelSpec,
+    densenet121_u_lidar,
+)
+
+
+# ---------------------------------------------------------------------------
+# analytic parameter counter (independent re-derivation of model:72-192)
+# ---------------------------------------------------------------------------
+
+
+def analytic_param_count(growth, blocks, init, s1, s2, concat_before, num_classes=3):
+    bn = lambda c: 2 * c
+    conv = lambda cin, cout, k: cin * cout * k * k
+
+    if concat_before == 1 and s2 == 0:
+        fusion = "no"
+    elif concat_before == 1:
+        fusion = "early"
+    else:
+        fusion = "mid"
+    in_ch = s1 + (s2 if fusion == "early" else 0)
+
+    total = conv(in_ch, init, 7) + bn(init)  # stem
+
+    def dense_block(c_in, n_layers):
+        s = 0
+        for j in range(n_layers):
+            cin = c_in + j * growth
+            s += bn(cin) + conv(cin, 4 * growth, 1) + bn(4 * growth) + conv(4 * growth, growth, 3)
+        return s
+
+    sizes = [init + 2 * growth]
+    c = init
+    for i, n_layers in enumerate(blocks):
+        total += dense_block(c, n_layers)
+        c += n_layers * growth
+        sizes.append(c)
+        if i != len(blocks) - 1:
+            total += bn(c) + conv(c, c // 2, 1)  # transition
+            c //= 2
+    bottleneck = sizes.pop()
+
+    if fusion == "mid":
+        total += conv(s2, init, 7) + bn(init)  # stream_2 stem
+        c2 = init
+        for i in range(concat_before - 1):
+            total += dense_block(c2, blocks[i])
+            c2 += blocks[i] * growth
+            total += bn(c2) + conv(c2, c2 // 2, 1)
+            c2 //= 2
+        total += bn(2 * c2) + conv(2 * c2, c2, 1)  # concat_module
+
+    num_in = bottleneck
+    for _ in range(len(blocks)):
+        nf = sizes.pop()
+        total += bn(num_in) + conv(num_in, nf, 1) + bn(nf) + conv(nf, nf, 3)
+        num_in = nf * 2
+
+    head_in = nf + s1 + s2
+    total += bn(head_in) + conv(head_in, nf // 2, 3) + bn(nf // 2) + conv(nf // 2, num_classes, 5)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# fusion modes + shapes (tiny architecture: fast on CPU)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_spec(**kw):
+    base = dict(growth_rate=8, block_config=(2, 2, 2, 2), num_init_features=16)
+    base.update(kw)
+    return ModelSpec(**base)
+
+
+@pytest.mark.parametrize(
+    "concat_before,s2,fusion",
+    [(1, 0, "no"), (1, 1, "early"), (2, 1, "mid"), (3, 1, "mid"), (4, 1, "mid")],
+)
+def test_fusion_modes_and_param_count(concat_before, s2, fusion):
+    spec = _tiny_spec(concat_before_block_num=concat_before, stream_2_in_channels=s2)
+    assert spec.fusion == fusion
+    module = DenseUNetLidar(spec)
+    rgb = jnp.zeros((1, 64, 96, 3))
+    lidar = jnp.zeros((1, 64, 96, 1)) if s2 else None
+    variables = module.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    n = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    expected = analytic_param_count(8, (2, 2, 2, 2), 16, 3, s2, concat_before)
+    assert n == expected, f"{fusion}: {n} != analytic {expected}"
+    out = module.apply(variables, rgb, lidar, False)
+    assert out.shape == (1, 64, 96, 3)
+
+
+def test_invalid_fusion_config_raises():
+    with pytest.raises(AttributeError):
+        _ = _tiny_spec(concat_before_block_num=9).fusion  # > len(block_config)
+
+
+def test_densenet121_full_param_count(full_config):
+    bundle = densenet121_u_lidar(config=full_config, init_hw=(64, 96))
+    expected = analytic_param_count(32, (6, 12, 24, 16), 64, 3, 1, 2)
+    assert bundle.num_params == expected
+    assert bundle.spec.fusion == "mid"
+    # decoder stage widths match SURVEY §3.4: [1024, 512, 256, 128]
+    assert bundle.spec.decoder_stage_features() == [1024, 512, 256, 128]
+
+
+def test_forward_is_deterministic_and_jittable():
+    spec = _tiny_spec()
+    module = DenseUNetLidar(spec)
+    rgb = jnp.ones((2, 64, 96, 3))
+    lidar = jnp.ones((2, 64, 96, 1))
+    variables = module.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    eager = module.apply(variables, rgb, lidar, False)
+    jitted = jax.jit(lambda v, a, b: module.apply(v, a, b, False))(variables, rgb, lidar)
+    np.testing.assert_allclose(np.asarray(eager), np.asarray(jitted), atol=1e-5)
+
+
+def test_train_mode_updates_batch_stats():
+    spec = _tiny_spec()
+    module = DenseUNetLidar(spec)
+    rgb = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    variables = module.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    _, mutated = module.apply(variables, rgb, lidar, True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+# ---------------------------------------------------------------------------
+# component parity vs torch
+# ---------------------------------------------------------------------------
+
+
+def test_conv_transpose_matches_torch():
+    torch.manual_seed(0)
+    x = torch.randn(2, 6, 8, 10)
+    m = torch.nn.ConvTranspose2d(6, 4, 3, stride=2, padding=1, bias=False)
+    for op in (0, 1):
+        target = (2 * 8 - 1 + op, 2 * 10 - 1 + op)
+        ref = m(x, output_size=target).detach().numpy()
+
+        mod = ConvTransposeToShape(4, jnp.float32)
+        xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        variables = mod.init(jax.random.PRNGKey(0), xj, target)
+        # port the torch weight: (Cin, Cout, kh, kw) -> flipped HWIO
+        w = m.weight.detach().numpy()
+        kernel = np.flip(w.transpose(2, 3, 0, 1), (0, 1)).copy()
+        variables = {"params": {"kernel": jnp.asarray(kernel)}}
+        ours = np.asarray(mod.apply(variables, xj, target)).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_conv_transpose_unreachable_shape_raises():
+    mod = ConvTransposeToShape(4, jnp.float32)
+    x = jnp.zeros((1, 8, 8, 4))
+    with pytest.raises(ValueError):
+        mod.init(jax.random.PRNGKey(0), x, (20, 20))
+
+
+def test_pooling_matches_torch():
+    from dmmfods_tpu.models.dense_unet_lidar import _avgpool_2x2_s2, _maxpool_3x3_s2_p1
+
+    torch.manual_seed(1)
+    x = torch.randn(2, 5, 17, 23)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    ref_max = torch.nn.MaxPool2d(3, 2, 1)(x).numpy()
+    ours_max = np.asarray(_maxpool_3x3_s2_p1(xj)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours_max, ref_max, atol=1e-6)
+    x2 = torch.randn(2, 5, 16, 24)
+    ref_avg = torch.nn.AvgPool2d(2, 2)(x2).numpy()
+    ours_avg = np.asarray(_avgpool_2x2_s2(jnp.asarray(x2.numpy().transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(ours_avg.transpose(0, 3, 1, 2), ref_avg, atol=1e-6)
+
+
+def test_nearest_upsample_matches_torch():
+    from dmmfods_tpu.models.dense_unet_lidar import _nearest_upsample_2x
+
+    x = torch.arange(24, dtype=torch.float32).reshape(1, 2, 3, 4)
+    ref = torch.nn.Upsample(scale_factor=2)(x).numpy()
+    ours = np.asarray(
+        _nearest_upsample_2x(jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, atol=0)
+
+
+def test_batchnorm_matches_torch_train_and_eval():
+    from dmmfods_tpu.ops.normalization import TorchBatchNorm
+
+    torch.manual_seed(2)
+    x = torch.randn(4, 7, 6, 6)
+    tm = torch.nn.BatchNorm2d(7)  # eps 1e-5, momentum 0.1
+    tm.train()
+    ref_train = tm(x).detach().numpy()
+
+    bn = TorchBatchNorm(use_running_average=False)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    variables = bn.init(jax.random.PRNGKey(0), xj)
+    ours_train, mutated = bn.apply(variables, xj, mutable=["batch_stats"])
+    np.testing.assert_allclose(
+        np.asarray(ours_train).transpose(0, 3, 1, 2), ref_train, atol=1e-4
+    )
+    # running stats after one step must match torch's EMA update
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["mean"]), tm.running_mean.numpy(), atol=1e-5
+    )
+    # torch uses the *unbiased* batch var for the running EMA
+    np.testing.assert_allclose(
+        np.asarray(mutated["batch_stats"]["var"]), tm.running_var.numpy(), atol=1e-4
+    )
