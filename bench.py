@@ -90,7 +90,7 @@ def conv_flops_per_frame(spec, h, w):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--height", type=int, default=128)
@@ -102,6 +102,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dmmfods_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from dmmfods_tpu.config import get_config
     from dmmfods_tpu.models.dense_unet_lidar import densenet121_u_lidar
 
@@ -109,7 +112,7 @@ def main():
     cfg.tpu.compute_dtype = args.dtype
     cfg.tpu.use_fused_kernels = bool(args.fused)
 
-    bundle = densenet121_u_lidar(config=cfg, init_hw=(args.height, args.width))
+    bundle = densenet121_u_lidar(config=cfg, init_hw=(64, 96))  # params are resolution-independent
     module, variables = bundle.module, bundle.variables
 
     @jax.jit

@@ -1,0 +1,190 @@
+"""Extended benchmark suite — all five BASELINE.json configs.
+
+(`bench.py` stays the driver's single-line headline harness; this suite
+measures the full matrix and appends to BASELINE.md's measured table.)
+
+  1. no-fusion DenseNet-121, RGB-only, one 320x480 frame, batch 1 (CPU)
+  2. early-fusion 4-channel RGB+LiDAR, DenseNet-121, batch 4
+  3. mid-fusion dual-stream DenseNet-121, concat before block 3, full-res
+     (1280x1920) frames
+  4. mid-fusion DenseNet-201 (weight-port architecture), eval throughput
+  5. data-parallel mid-fusion *training* with device-side Waymo
+     preprocessing (raw points + boxes in, fused preprocessing in-graph)
+
+Run: ``python bench_suite.py [--configs 1,2,5] [--json out.json]``
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _time_fn(fn, args, steps=10, warmup=2):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _build(config_overrides, h, w, dtype="bfloat16"):
+    from dmmfods_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from dmmfods_tpu.config import get_config
+    from dmmfods_tpu.models.dense_unet_lidar import densenet121_u_lidar, densenet201_u_lidar
+
+    cfg = get_config("/tmp/dmmfods_bench_suite")
+    cfg.tpu.compute_dtype = dtype
+    arch = config_overrides.pop("arch", "121")
+    for key, value in config_overrides.items():
+        cfg.model[key] = value
+    ctor = densenet201_u_lidar if arch == "201" else densenet121_u_lidar
+    return ctor(config=cfg, init_hw=(h, w)), cfg
+
+
+def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+
+    bundle, cfg = _build(dict(overrides), h, w, dtype)
+    module, variables = bundle.module, bundle.variables
+    single = cfg.model.stream_2_in_channels == 0
+
+    @jax.jit
+    def forward(v, rgb, lidar):
+        return module.apply(v, rgb, None if single else lidar, False)
+
+    rng = np.random.default_rng(0)
+    dt = jnp.dtype(dtype)
+    rgb = jnp.asarray(rng.normal(size=(batch, h, w, 3)), dt)
+    lidar = jnp.asarray(rng.normal(size=(batch, h, w, 1)), dt)
+    if device is not None:
+        variables = jax.device_put(variables, device)
+        rgb, lidar = jax.device_put((rgb, lidar), device)
+
+    med = _time_fn(lambda v, a, b: forward(v, a, b), (variables, rgb, lidar), steps)
+    return {
+        "config": name,
+        "resolution": f"{h}x{w}",
+        "batch": batch,
+        "median_step_s": round(med, 5),
+        "frames_per_s": round(batch / med, 1),
+        "params": bundle.num_params,
+    }
+
+
+def bench_train_dp(steps=6):
+    """Config 5: data-parallel mid-fusion training with device-side
+    preprocessing (single real chip here; the dp path is exercised via the
+    mesh machinery with data=1 and validated at 8 devices in tests)."""
+    import jax
+
+    from dmmfods_tpu import trainer as trainer_lib
+    from dmmfods_tpu.parallel import mesh as mesh_lib
+
+    bundle, cfg = _build({}, 128, 192, "bfloat16")
+    mesh = mesh_lib.make_mesh(data=len(jax.devices()), model=1)
+    tx = trainer_lib.make_optimizer(cfg)
+    state = trainer_lib.create_train_state(bundle, tx)
+    state = jax.device_put(state, mesh_lib.replicated(mesh))
+    step = trainer_lib.make_train_step_raw(bundle.module, tx, cfg, mesh=mesh, donate=False)
+
+    rng = np.random.default_rng(0)
+    b, n_pts, n_boxes = 32, 32768, 64
+    image = rng.normal(0.5, 0.2, (b, 128, 192, 3)).astype(np.float32)
+    points = np.zeros((b, n_pts, 3), np.float32)
+    points[:, :, 0] = rng.uniform(0, 1920, (b, n_pts))
+    points[:, :, 1] = rng.uniform(0, 1280, (b, n_pts))
+    points[:, :, 2] = rng.uniform(1, 70, (b, n_pts))
+    num_valid = np.full((b,), n_pts, np.int32)
+    boxes = np.zeros((b, n_boxes, 5), np.int32)
+    boxes[:, :8] = [1, 100, 100, 300, 200]
+    batch = mesh_lib.shard_batch((image, points, num_valid, boxes), mesh)
+
+    def run(s, *args):
+        new_state, m = step(s, *args)
+        return m["loss"]
+
+    med = _time_fn(lambda *a: run(state, *batch), (), steps)
+    return {
+        "config": "5_train_dp_device_preprocess",
+        "resolution": "128x192 (+1280x1920 lidar splat in-graph)",
+        "batch": b,
+        "median_step_s": round(med, 5),
+        "frames_per_s": round(b / med, 1),
+        "params": bundle.num_params,
+    }
+
+
+CONFIGS = {
+    "1": lambda steps: _run_cpu_config1(steps),
+    "2": lambda steps: bench_inference(
+        "2_early_fusion_b4",
+        {"concat_before_block_num": 1, "stream_2_in_channels": 1},
+        128, 192, 4, steps,
+    ),
+    "3": lambda steps: bench_inference(
+        "3_mid_fusion_block3_fullres",
+        {"concat_before_block_num": 3},
+        1280, 1920, 1, steps,
+    ),
+    "4": lambda steps: bench_inference(
+        "4_mid_fusion_densenet201",
+        {"arch": "201"},
+        128, 192, 64, steps,
+    ),
+    "5": lambda steps: bench_train_dp(steps),
+}
+
+
+def _run_cpu_config1(steps):
+    """Config 1 runs on CPU per BASELINE.json ("batch 1 (CPU)")."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        result = bench_inference(
+            "1_no_fusion_rgb_320x480_b1_cpu",
+            {"concat_before_block_num": 1, "stream_2_in_channels": 0},
+            320, 480, 1, steps, dtype="float32",
+        )
+    result["device"] = "cpu"
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--configs", default="1,2,3,4,5")
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--json", default="")
+    args = parser.parse_args()
+
+    results = []
+    for key in args.configs.split(","):
+        key = key.strip()
+        try:
+            result = CONFIGS[key](args.steps)
+        except Exception as exc:  # record failures, keep going
+            result = {"config": key, "error": f"{type(exc).__name__}: {exc}"}
+        results.append(result)
+        print(json.dumps(result))
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(results, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

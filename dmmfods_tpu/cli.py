@@ -1,0 +1,151 @@
+"""Command-line entry point — replaces the reference's Colab notebook
+(``Colab_Setup.ipynb``: install / data transfer / offline conversion /
+training / visual assessment; SURVEY.md §7.4 swaps the GDrive plumbing for a
+plain CLI).
+
+Commands:
+  train     train the Dense U-Net (resume-aware)
+  eval      validate / test with the best checkpoint
+  convert   offline Waymo tfrecord -> array conversion
+  batch     pack converted samples into serialized batches
+  assess    visual assessment: write side-by-side PNG panels
+            (RGB | LiDAR | sigmoid(prediction) | GT) like notebook cell 12
+  bench     run the benchmark harness
+
+Usage: ``python -m dmmfods_tpu.cli <command> [--host-dir DIR] [--set a.b=c ...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import sys
+
+
+def _apply_overrides(config, pairs):
+    """``--set model.growth_rate=48`` style overrides (typed via literal_eval)."""
+    for pair in pairs or []:
+        key, _, raw = pair.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = config
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = value
+    return config
+
+
+def _load_config(args):
+    from .utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from .config import get_config
+
+    config = get_config(args.host_dir)
+    return _apply_overrides(config, args.set)
+
+
+def cmd_train(args):
+    from .agents.dense_unet_agent import Dense_U_Net_lidar_Agent
+
+    config = _load_config(args)
+    config.loader.mode = "train"
+    agent = Dense_U_Net_lidar_Agent(config, torchvision_init=args.torchvision_init)
+    agent.run()
+    agent.finalize()
+
+
+def cmd_eval(args):
+    from .agents.dense_unet_agent import Dense_U_Net_lidar_Agent
+
+    config = _load_config(args)
+    config.loader.mode = "test"
+    agent = Dense_U_Net_lidar_Agent(config, torchvision_init=False)
+    agent.run()
+    agent.finalize()
+
+
+def cmd_convert(args):
+    from .data.converter import waymo_to_arrays_offline
+
+    config = _load_config(args)
+    waymo_to_arrays_offline(
+        args.data_root or config.dir.data.root,
+        small_dataset_for_testing=args.small,
+        config=config,
+    )
+
+
+def cmd_batch(args):
+    from .data.converter import save_data_in_batch
+
+    config = _load_config(args)
+    n = save_data_in_batch(config, args.buckets, args.mode)
+    print(f"{n} batches serialized")
+
+
+def cmd_assess(args):
+    from .utils.assessment import visual_assessment
+
+    config = _load_config(args)
+    out = visual_assessment(config, num_samples=args.num_samples, out_dir=args.out_dir)
+    print(f"wrote {len(out)} panels to {args.out_dir}")
+
+
+def cmd_bench(args):
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"] + (args.bench_args or [])
+    raise SystemExit(subprocess.call(cmd))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="dmmfods_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--host-dir", default="", help="root dir for runs/config/data")
+        p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                       help="config override, e.g. --set model.growth_rate=48")
+
+    p = sub.add_parser("train", help="train the Dense U-Net")
+    common(p)
+    p.add_argument("--torchvision-init", action="store_true",
+                   help="bootstrap encoder from config.model.pretrained_path")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("eval", help="evaluate with the best checkpoint")
+    common(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("convert", help="offline Waymo tfrecord conversion")
+    common(p)
+    p.add_argument("--data-root", default="")
+    p.add_argument("--small", action="store_true", help="stop after 10 frames")
+    p.set_defaults(fn=cmd_convert)
+
+    p = sub.add_parser("batch", help="pack converted samples into batches")
+    common(p)
+    p.add_argument("buckets", nargs="+")
+    p.add_argument("--mode", choices=["train", "val", "test"], required=True)
+    p.set_defaults(fn=cmd_batch)
+
+    p = sub.add_parser("assess", help="visual assessment panels")
+    common(p)
+    p.add_argument("--num-samples", type=int, default=4)
+    p.add_argument("--out-dir", default="assessment")
+    p.set_defaults(fn=cmd_assess)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("bench_args", nargs="*")
+    p.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,10 +101,24 @@ class WaymoDataset:
     # -- access ------------------------------------------------------------
 
     def get_batch(self, idx):
-        """One serialized (32, 7, 128, 192) file -> NHWC (image, lidar, ht_map)
-        (channel slicing per reference WaymoData.py:99-101)."""
-        batch = np.asarray(_load_array(join(self.root, self.files[idx])), np.float32)
-        nhwc = np.transpose(batch, (0, 2, 3, 1))
+        """One serialized batch file -> NHWC (image, lidar, ht_map).
+
+        Handles both layouts: legacy torch ``(N, 7, H, W)`` files
+        (channel slicing per reference WaymoData.py:99-101) and native
+        channel-last ``(N, H, W, 7)`` files from our converter.
+        """
+        path = join(self.root, self.files[idx])
+        if path.endswith(".npy"):
+            from . import native_io
+
+            if native_io.available():
+                # GIL-free C++ decode: single-pass layout + channel split
+                return native_io.load_batch(path)
+        batch = np.asarray(_load_array(path), np.float32)
+        if batch.shape[-1] == 7:  # native channel-last
+            nhwc = batch
+        else:  # legacy (N, 7, H, W)
+            nhwc = np.transpose(batch, (0, 2, 3, 1))
         return nhwc[..., :3], nhwc[..., 3:4], nhwc[..., 4:]
 
     def get_single_sample(self, idx):

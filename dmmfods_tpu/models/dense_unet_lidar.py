@@ -592,8 +592,18 @@ def _dense_u_net_lidar(arch, growth_rate, block_config, num_init_features,
             if spec.stream_2_in_channels > 0
             else None
         )
-        # eager init: runs once, avoids an XLA compile of the full graph
-        variables = module.init(jax.random.PRNGKey(seed), rgb, lidar, False)
+        # Init runs once: do it eagerly on the host CPU backend (a jit-compile
+        # of the full graph costs minutes; eager dispatch to a remote TPU is
+        # worse), then transfer the param tree to the default device in one go.
+        default = jax.devices()[0]
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu0 = default
+        with jax.default_device(cpu0):
+            variables = module.init(jax.random.PRNGKey(seed), rgb, lidar, False)
+        if default.platform != "cpu":
+            variables = jax.device_put(variables, default)
 
         if pretrained:
             from .torch_port import load_torchvision_encoder

@@ -45,7 +45,13 @@ class TorchBatchNorm(nn.Module):
         )
 
         if self.use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            # inference fast path: fold running stats into a per-channel
+            # (gamma, beta) in f32, then apply in the compute dtype — keeps
+            # the elementwise pass in bf16 (half the HBM traffic) while the
+            # per-channel constants stay full precision.
+            gamma = lax.rsqrt(ra_var.value + self.epsilon) * scale
+            beta = bias - ra_mean.value * gamma
+            return (x * gamma.astype(self.dtype) + beta.astype(self.dtype)).astype(self.dtype)
         else:
             reduce_axes = tuple(range(x.ndim - 1))
             n = x.size // features

@@ -152,6 +152,81 @@ def rasterize_heatmaps_pooled(boxes, height=1280, width=1920, pool=10):
     return maxpool2d(rasterize_heatmaps(boxes, height, width), pool)
 
 
+def _pedestrian_window_max(r0, r1, c0, c1, h, w):
+    """Max of the pedestrian template over the box-relative region
+    [r0, r1) x [c0, c1) — closed-form, no full-res raster.
+
+    Template cells (see ``_pedestrian_template_value``): top side corners
+    0.3, bottom side corners 0.5, bottom center 0.75, everything else 1.0.
+    """
+    hf = h // 5
+    wf = w // 4
+    top = r0 < hf
+    mid = (r1 > hf) & (r0 < 3 * hf)
+    bot = r1 > 3 * hf
+    left = c0 < wf
+    center = (c1 > wf) & (c0 < 3 * wf)
+    right = c1 > 3 * wf
+    side = left | right
+
+    val = jnp.zeros_like(r0, dtype=jnp.float32)
+    val = jnp.maximum(val, jnp.where(top & side, 0.3, 0.0))
+    val = jnp.maximum(val, jnp.where(bot & side, 0.5, 0.0))
+    val = jnp.maximum(val, jnp.where(bot & center, 0.75, 0.0))
+    val = jnp.maximum(val, jnp.where(mid | (top & center), 1.0, 0.0))
+    return val
+
+
+def rasterize_heatmaps_direct(boxes, out_height=128, out_width=192, pool=10,
+                              *, num_classes=3):
+    """Rasterize straight onto the pooled grid — the device-side fast path.
+
+    Computes, per output pixel, the value max-pooling the full-res raster
+    would produce: a ``pool x pool`` window holds a box's fill iff it
+    intersects the box, and for pedestrians the window value is the
+    closed-form template max over the intersection. ~``pool**2`` x less VPU
+    work than :func:`rasterize_heatmaps_pooled`, suitable for running
+    *inside* the jitted train step (north-star device-side preprocessing).
+
+    Exactly equal to the pooled reference path for non-overlapping boxes
+    (the overwhelmingly common case); for boxes of the same class that
+    overlap, overwrite-order mixing inside a shared window can differ in
+    those windows (the offline converter keeps the exact path).
+    """
+    boxes = jnp.asarray(boxes, jnp.int32)
+    rows = lax.broadcasted_iota(jnp.int32, (out_height, out_width), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (out_height, out_width), 1)
+    win_y0 = rows * pool
+    win_y1 = win_y0 + pool
+    win_x0 = cols * pool
+    win_x1 = win_x0 + pool
+
+    def apply_box(maps, box):
+        btype, x, y, w, h = box[0], box[1], box[2], box[3], box[4]
+        intersects = (win_y1 > y) & (win_y0 < y + h) & (win_x1 > x) & (win_x0 < x + w)
+        # intersection region in box-relative coords
+        r0 = jnp.maximum(win_y0 - y, 0)
+        r1 = jnp.minimum(win_y1 - y, h)
+        c0 = jnp.maximum(win_x0 - x, 0)
+        c1 = jnp.minimum(win_x1 - x, w)
+        ped = _pedestrian_window_max(r0, r1, c0, c1, h, w)
+        fill = jnp.where(btype == TYPE_PEDESTRIAN, ped, 1.0)
+
+        channel = jnp.where(
+            btype == TYPE_VEHICLE, 0, jnp.where(btype == TYPE_PEDESTRIAN, 1, 2)
+        )
+        valid = (btype == TYPE_VEHICLE) | (btype == TYPE_PEDESTRIAN) | (btype == TYPE_CYCLIST)
+        onehot = (
+            lax.broadcasted_iota(jnp.int32, (maps.shape[-1],), 0) == channel
+        ) & valid
+        write = intersects[:, :, None] & onehot[None, None, :]
+        return jnp.where(write, fill[:, :, None], maps), None
+
+    init = jnp.zeros((out_height, out_width, num_classes), jnp.float32)
+    maps, _ = lax.scan(apply_box, init, boxes)
+    return maps
+
+
 # ---------------------------------------------------------------------------
 # LiDAR range image
 # ---------------------------------------------------------------------------

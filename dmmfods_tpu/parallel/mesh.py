@@ -45,9 +45,10 @@ def make_mesh(config=None, *, data=None, model=None, devices=None) -> Mesh:
         model = mesh_cfg.model if model is None else model
     model = 1 if model in (None, -1) else int(model)
     data = int(data) if data not in (None, -1) else n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than the {n} available devices")
+    # an explicit smaller mesh uses the first data*model devices
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, axis_names=("data", "model"))
 
 

@@ -154,6 +154,43 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
     return jax.jit(step)
 
 
+def make_train_step_raw(module, tx, config, *, mesh=None, donate=True,
+                        full_height=1280, full_width=1920, splat_mode="nearest"):
+    """Train step with *device-side preprocessing fused in* (the north-star
+    replacement for the reference's offline per-sample ETL, SURVEY.md §3.5):
+
+    ``(state, image, points, num_valid, boxes) -> (state, metrics)``
+
+    where ``points (B, N, 3)`` / ``num_valid (B,)`` are padded LiDAR point
+    buffers and ``boxes (B, M, 5)`` padded label boxes. The LiDAR splat +
+    binning + pooling and the heat-map rasterization run inside the same XLA
+    program as forward/backward — host->HBM transfer is raw points + boxes
+    (tens of KB) instead of dense images.
+    """
+    from .ops import preprocess as pp
+
+    base_step = make_train_step(module, tx, config, mesh=mesh, donate=donate)
+
+    def preprocess(image, points, num_valid, boxes):
+        out_h, out_w = image.shape[1], image.shape[2]
+        pool = full_height // out_h
+        lidar = jax.vmap(
+            lambda p, n: pp.lidar_points_to_model_input(
+                p, n, full_height, full_width, mode=splat_mode
+            )
+        )(points, num_valid)
+        ht = jax.vmap(
+            lambda b: pp.rasterize_heatmaps_direct(b, out_h, out_w, pool)
+        )(boxes)
+        return lidar, ht
+
+    def step(state, image, points, num_valid, boxes):
+        lidar, ht = preprocess(image, points, num_valid, boxes)
+        return base_step(state, image, lidar, ht)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
 def make_forward(module, config, *, train=False):
     """Jitted inference forward: ``(variables, rgb, lidar) -> logits``."""
     single_stream = config.model.stream_2_in_channels == 0

@@ -58,6 +58,9 @@ class SummaryWriter:
         self._pending.append((tag, value, step))
 
     def flush(self):
+        if self._jsonl.closed:
+            self._pending.clear()
+            return
         for tag, value, step in self._pending:
             arr = np.asarray(value)
             if arr.ndim == 0:
@@ -87,6 +90,10 @@ class SummaryWriter:
         self._jsonl.flush()
 
     def close(self):
+        """Idempotent (the agent's train() and finalize() may both close,
+        as the reference's do)."""
+        if self._jsonl.closed:
+            return
         self.flush()
         self._jsonl.close()
         if self._tb is not None:

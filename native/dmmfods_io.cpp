@@ -1,0 +1,305 @@
+// dmmfods_io — native host-side IO runtime for the input pipeline.
+//
+// The reference's input pipeline is torch DataLoader worker *processes*
+// unpickling torch tensor files (reference dmmfods/datasets/WaymoData.py:97,
+// helper.py:136-143). This library is the TPU-framework equivalent: a small
+// C++ runtime that reads serialized batch files (.npy), converts layout
+// (NCHW -> NHWC) and splits channels (RGB / LiDAR / heat map) in one pass,
+// plus a threaded read-ahead prefetcher — all off the Python GIL so the host
+// loop can keep a TPU fed. Exposed via a C ABI for ctypes binding
+// (dmmfods_tpu/data/native_io.py).
+//
+// Build: make -C native  (g++ -O3 -shared -fPIC)
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Minimal .npy (format v1/v2) reader for C-contiguous little-endian arrays.
+// ---------------------------------------------------------------------------
+
+struct NpyInfo {
+  std::vector<int64_t> shape;
+  size_t word_size = 0;   // bytes per element
+  char kind = 'f';        // 'f' float, 'i' int, 'u' uint
+  size_t data_offset = 0; // byte offset of the raw data
+};
+
+bool parse_npy_header(FILE* f, NpyInfo* info) {
+  unsigned char magic[8];
+  if (fread(magic, 1, 8, f) != 8) return false;
+  if (memcmp(magic, "\x93NUMPY", 6) != 0) return false;
+  int major = magic[6];
+  uint32_t header_len = 0;
+  if (major == 1) {
+    unsigned char hl[2];
+    if (fread(hl, 1, 2, f) != 2) return false;
+    header_len = hl[0] | (hl[1] << 8);
+    info->data_offset = 10 + header_len;
+  } else {
+    unsigned char hl[4];
+    if (fread(hl, 1, 4, f) != 4) return false;
+    header_len = hl[0] | (hl[1] << 8) | (hl[2] << 16) | ((uint32_t)hl[3] << 24);
+    info->data_offset = 12 + header_len;
+  }
+  std::string header(header_len, '\0');
+  if (fread(&header[0], 1, header_len, f) != header_len) return false;
+
+  // descr
+  size_t dpos = header.find("'descr'");
+  if (dpos == std::string::npos) return false;
+  size_t q1 = header.find('\'', dpos + 7);
+  size_t q2 = header.find('\'', q1 + 1);
+  std::string descr = header.substr(q1 + 1, q2 - q1 - 1);
+  if (descr.size() < 3 || (descr[0] != '<' && descr[0] != '|' && descr[0] != '=')) return false;
+  info->kind = descr[1];
+  info->word_size = std::stoul(descr.substr(2));
+
+  // fortran_order must be False
+  if (header.find("'fortran_order': True") != std::string::npos) return false;
+
+  // shape
+  size_t spos = header.find("'shape'");
+  size_t p1 = header.find('(', spos);
+  size_t p2 = header.find(')', p1);
+  std::string dims = header.substr(p1 + 1, p2 - p1 - 1);
+  info->shape.clear();
+  size_t start = 0;
+  while (start < dims.size()) {
+    size_t comma = dims.find(',', start);
+    std::string tok = dims.substr(start, comma == std::string::npos ? std::string::npos
+                                                                     : comma - start);
+    // trim
+    size_t b = tok.find_first_not_of(" \t");
+    if (b != std::string::npos) {
+      size_t e = tok.find_last_not_of(" \t");
+      tok = tok.substr(b, e - b + 1);
+      if (!tok.empty()) info->shape.push_back(std::stoll(tok));
+    }
+    if (comma == std::string::npos) break;
+    start = comma + 1;
+  }
+  return !info->shape.empty();
+}
+
+int64_t numel(const std::vector<int64_t>& shape) {
+  int64_t n = 1;
+  for (auto d : shape) n *= d;
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read an .npy file's shape: fills shape[0..7], returns ndim (<=8), -1 on err.
+int dmm_npy_shape(const char* path, int64_t* shape_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  NpyInfo info;
+  bool ok = parse_npy_header(f, &info);
+  fclose(f);
+  if (!ok || info.shape.size() > 8) return -1;
+  for (size_t i = 0; i < info.shape.size(); ++i) shape_out[i] = info.shape[i];
+  return (int)info.shape.size();
+}
+
+// NCHW -> NHWC float32 transpose (cache-blocked over channels).
+void dmm_nchw_to_nhwc_f32(const float* src, float* dst, int64_t n, int64_t c,
+                          int64_t h, int64_t w) {
+  const int64_t hw = h * w;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* sample = src + i * c * hw;
+    float* out = dst + i * hw * c;
+    for (int64_t ch = 0; ch < c; ++ch) {
+      const float* plane = sample + ch * hw;
+      float* o = out + ch;
+      for (int64_t p = 0; p < hw; ++p) o[p * c] = plane[p];
+    }
+  }
+}
+
+// Load a serialized batch file (.npy float32, either (N,7,H,W) legacy or
+// (N,H,W,7) native) and split into NHWC image(3)/lidar(1)/heatmap(3) buffers.
+// Caller allocates: img N*H*W*3, lidar N*H*W*1, ht N*H*W*3 floats.
+// Returns 0 on success.
+int dmm_load_batch_f32(const char* path, float* img, float* lidar, float* ht,
+                       int64_t* n_out, int64_t* h_out, int64_t* w_out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  NpyInfo info;
+  if (!parse_npy_header(f, &info) || info.shape.size() != 4 ||
+      info.kind != 'f' || info.word_size != 4) {
+    fclose(f);
+    return 2;
+  }
+  int64_t n, h, w;
+  bool channel_last;
+  if (info.shape[3] == 7) {            // (N, H, W, 7)
+    n = info.shape[0]; h = info.shape[1]; w = info.shape[2];
+    channel_last = true;
+  } else if (info.shape[1] == 7) {     // (N, 7, H, W) legacy
+    n = info.shape[0]; h = info.shape[2]; w = info.shape[3];
+    channel_last = false;
+  } else {
+    fclose(f);
+    return 3;
+  }
+  *n_out = n; *h_out = h; *w_out = w;
+
+  const int64_t total = numel(info.shape);
+  std::vector<float> buf(total);
+  if (fseek(f, (long)info.data_offset, SEEK_SET) != 0 ||
+      fread(buf.data(), 4, total, f) != (size_t)total) {
+    fclose(f);
+    return 4;
+  }
+  fclose(f);
+
+  const int64_t hw = h * w;
+  if (channel_last) {
+    for (int64_t i = 0; i < n; ++i) {
+      const float* s = buf.data() + i * hw * 7;
+      float* pi = img + i * hw * 3;
+      float* pl = lidar + i * hw;
+      float* ph = ht + i * hw * 3;
+      for (int64_t p = 0; p < hw; ++p) {
+        const float* px = s + p * 7;
+        pi[p * 3 + 0] = px[0]; pi[p * 3 + 1] = px[1]; pi[p * 3 + 2] = px[2];
+        pl[p] = px[3];
+        ph[p * 3 + 0] = px[4]; ph[p * 3 + 1] = px[5]; ph[p * 3 + 2] = px[6];
+      }
+    }
+  } else {
+    for (int64_t i = 0; i < n; ++i) {
+      const float* s = buf.data() + i * 7 * hw;
+      float* pi = img + i * hw * 3;
+      float* pl = lidar + i * hw;
+      float* ph = ht + i * hw * 3;
+      for (int64_t ch = 0; ch < 3; ++ch) {
+        const float* plane = s + ch * hw;
+        for (int64_t p = 0; p < hw; ++p) pi[p * 3 + ch] = plane[p];
+      }
+      memcpy(pl, s + 3 * hw, hw * 4);
+      for (int64_t ch = 0; ch < 3; ++ch) {
+        const float* plane = s + (4 + ch) * hw;
+        for (int64_t p = 0; p < hw; ++p) ph[p * 3 + ch] = plane[p];
+      }
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded read-ahead prefetcher: N reader threads decode batch files into a
+// bounded queue; the consumer pops ready NHWC buffers. GIL-free.
+// ---------------------------------------------------------------------------
+
+struct DmmBatch {
+  std::vector<float> img, lidar, ht;
+  int64_t n = 0, h = 0, w = 0;
+  int status = 0;
+};
+
+struct DmmPrefetcher {
+  std::vector<std::string> paths;
+  size_t depth;
+  std::atomic<size_t> next_idx{0};
+  std::deque<DmmBatch*> ready;
+  std::mutex mu;
+  std::condition_variable cv_ready, cv_space;
+  std::vector<std::thread> workers;
+  std::atomic<bool> stop{false};
+  size_t produced = 0;  // guarded by mu: batches pushed to ready
+  size_t popped = 0;    // guarded by mu
+
+  void worker_loop() {
+    for (;;) {
+      size_t idx = next_idx.fetch_add(1);
+      if (idx >= paths.size() || stop.load()) return;
+      auto* b = new DmmBatch();
+      // probe shape first to size buffers
+      int64_t shape[8];
+      int ndim = dmm_npy_shape(paths[idx].c_str(), shape);
+      if (ndim != 4) {
+        b->status = 1;
+      } else {
+        int64_t n = shape[0];
+        int64_t h = shape[3] == 7 ? shape[1] : shape[2];
+        int64_t w = shape[3] == 7 ? shape[2] : shape[3];
+        b->img.resize(n * h * w * 3);
+        b->lidar.resize(n * h * w);
+        b->ht.resize(n * h * w * 3);
+        b->status = dmm_load_batch_f32(paths[idx].c_str(), b->img.data(),
+                                       b->lidar.data(), b->ht.data(), &b->n,
+                                       &b->h, &b->w);
+      }
+      std::unique_lock<std::mutex> lk(mu);
+      cv_space.wait(lk, [&] { return ready.size() < depth || stop.load(); });
+      if (stop.load()) { delete b; return; }
+      ready.push_back(b);
+      produced++;
+      cv_ready.notify_one();
+    }
+  }
+};
+
+void* dmm_prefetcher_create(const char** paths, int64_t num_paths,
+                            int64_t depth, int64_t num_threads) {
+  auto* p = new DmmPrefetcher();
+  p->paths.assign(paths, paths + num_paths);
+  p->depth = (size_t)depth;
+  for (int64_t t = 0; t < num_threads; ++t)
+    p->workers.emplace_back([p] { p->worker_loop(); });
+  return p;
+}
+
+// Pop the next decoded batch; copies into caller buffers. Returns the batch
+// status (0 ok), or -1 when the stream is exhausted.
+int dmm_prefetcher_next(void* handle, float* img, float* lidar, float* ht,
+                        int64_t* n, int64_t* h, int64_t* w) {
+  auto* p = (DmmPrefetcher*)handle;
+  DmmBatch* b = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_ready.wait(lk, [&] {
+      return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
+    });
+    if (p->ready.empty()) return -1;  // exhausted
+    b = p->ready.front();
+    p->ready.pop_front();
+    p->popped++;
+    p->cv_space.notify_one();
+  }
+  int status = b->status;
+  if (status == 0) {
+    *n = b->n; *h = b->h; *w = b->w;
+    memcpy(img, b->img.data(), b->img.size() * 4);
+    memcpy(lidar, b->lidar.data(), b->lidar.size() * 4);
+    memcpy(ht, b->ht.data(), b->ht.size() * 4);
+  }
+  delete b;
+  return status;
+}
+
+void dmm_prefetcher_destroy(void* handle) {
+  auto* p = (DmmPrefetcher*)handle;
+  p->stop.store(true);
+  p->cv_space.notify_all();
+  p->cv_ready.notify_all();
+  for (auto& t : p->workers) t.join();
+  for (auto* b : p->ready) delete b;
+  delete p;
+}
+
+}  // extern "C"

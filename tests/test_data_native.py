@@ -1,0 +1,195 @@
+"""Tests for the data layer: dataset crawling + file-list caching, prefetch
+loader, serialized-batch round trips, native C++ IO, the detection adapter,
+and the converter's non-waymo math."""
+
+import json
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from dmmfods_tpu.config import get_config
+from dmmfods_tpu.data.waymo import PrefetchLoader, WaymoDataset, WaymoDataset_Loader
+
+
+def _make_batched_layout(root, mode="train", files_per_subset=3, n=4, h=16, w=24,
+                         rng=None, fmt="npy"):
+    """Write a reference-layout batched dataset: mode/subsetK/{0..}.npy + labels."""
+    rng = rng or np.random.default_rng(0)
+    subset = Path(root) / mode / "subset0"
+    (subset / "labels").mkdir(parents=True, exist_ok=True)
+    arrays = []
+    for i in range(files_per_subset):
+        a = rng.random((n, h, w, 7)).astype(np.float32)
+        arrays.append(a)
+        np.save(subset / f"{i}.npy", a)
+        labels = {
+            j: {"0": {"type": 1, "x": 10, "y": 10, "width": 40, "height": 30}}
+            for j in range(n)
+        }
+        with open(subset / "labels" / str(i), "wb") as fh:
+            pickle.dump(labels, fh)
+    return arrays
+
+
+@pytest.fixture()
+def batched_config(tmp_path):
+    cfg = get_config(str(tmp_path))
+    Path(cfg.dir.data.root).mkdir(parents=True, exist_ok=True)
+    return cfg
+
+
+def test_dataset_crawl_and_file_list_cache(batched_config):
+    cfg = batched_config
+    arrays = _make_batched_layout(cfg.dir.data.root, "train")
+    ds = WaymoDataset("train", cfg)
+    assert len(ds) == 3
+    img, lidar, ht = ds[0]
+    assert img.shape == (4, 16, 24, 3)
+    assert lidar.shape == (4, 16, 24, 1)
+    assert ht.shape == (4, 16, 24, 3)
+    # file list was cached as json (reference WaymoData.py:31-45)
+    cache = Path(cfg.dir.data.file_lists) / ("train_" + cfg.dataset.file_list_name)
+    assert cache.exists()
+    cached = json.loads(cache.read_text())
+    assert len(cached) == 3
+    # second construction loads from cache
+    ds2 = WaymoDataset("train", cfg)
+    assert ds2.files == ds.files
+
+
+def test_batched_loader_requires_none_batch_size(batched_config):
+    cfg = batched_config
+    _make_batched_layout(cfg.dir.data.root, "train")
+    cfg.loader.batch_size = 8
+    with pytest.raises(ValueError):
+        WaymoDataset("train", cfg)
+
+
+def test_prefetch_loader_batched(batched_config):
+    cfg = batched_config
+    arrays = _make_batched_layout(cfg.dir.data.root, "train")
+    _make_batched_layout(cfg.dir.data.root, "val", files_per_subset=2)
+    loader = WaymoDataset_Loader(cfg)
+    assert loader.train_iterations == 3
+    assert loader.valid_iterations == 2
+    batches = list(loader.train_loader)
+    assert len(batches) == 3
+    total = np.stack(sorted([float(b[0].sum()) for b in batches]))
+    ref = np.stack(sorted([float(a[..., :3].sum()) for a in arrays]))
+    np.testing.assert_allclose(total, ref, rtol=1e-5)
+
+
+def test_prefetch_loader_single_sample_batching(tmp_path):
+    from dmmfods_tpu.data.synthetic import SyntheticDataset
+
+    class SingleDs:
+        data_is_batched = False
+
+        def __init__(self):
+            self._items = [
+                (np.full((8, 8, 3), i, np.float32),
+                 np.full((8, 8, 1), i, np.float32),
+                 np.full((8, 8, 3), i, np.float32))
+                for i in range(5)
+            ]
+
+        def __len__(self):
+            return 5
+
+        def __getitem__(self, i):
+            return self._items[i]
+
+    loader = PrefetchLoader(SingleDs(), batch_size=2)
+    batches = list(loader)
+    assert [b[0].shape[0] for b in batches] == [2, 2, 1]
+    loader_drop = PrefetchLoader(SingleDs(), batch_size=2, drop_last=True)
+    assert [b[0].shape[0] for b in loader_drop] == [2, 2]
+
+
+def test_native_io_roundtrip(tmp_path):
+    native_io = pytest.importorskip("dmmfods_tpu.data.native_io")
+    if not native_io.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(1)
+    a = rng.random((2, 8, 12, 7)).astype(np.float32)
+    p = tmp_path / "b.npy"
+    np.save(p, a)
+    img, lidar, ht = native_io.load_batch(p)
+    np.testing.assert_array_equal(img, a[..., :3])
+    np.testing.assert_array_equal(lidar, a[..., 3:4])
+    np.testing.assert_array_equal(ht, a[..., 4:])
+    # legacy NCHW file
+    b = rng.random((2, 7, 8, 12)).astype(np.float32)
+    p2 = tmp_path / "b2.npy"
+    np.save(p2, b)
+    img2, _, ht2 = native_io.load_batch(p2)
+    ref = np.transpose(b, (0, 2, 3, 1))
+    np.testing.assert_array_equal(img2, ref[..., :3])
+    np.testing.assert_array_equal(ht2, ref[..., 4:])
+    # threaded prefetcher yields every file exactly once
+    pf = native_io.NativePrefetcher([p, p2, p], depth=2, num_threads=2)
+    assert len(list(pf)) == 3
+    pf.close()
+
+
+def test_detection_adapter(batched_config):
+    cfg = batched_config
+    _make_batched_layout(cfg.dir.data.root, "train", n=4)
+    _make_batched_layout(cfg.dir.data.root, "val", files_per_subset=1, n=4)
+    from dmmfods_tpu.data.detection import DetectionWaymoDataset
+
+    cfg.dataset.batch_size = 32  # keep batched-storage flag on
+    ds = DetectionWaymoDataset("train", cfg, minibatch_size=2)
+    img, lidar, ht, targets = ds[0]
+    assert img.shape[0] == 2 and img.max() <= 1.0  # /255 normalization
+    assert len(targets) == 2
+    t = targets[0]
+    assert t.boxes.shape[1] == 4
+    # boxes were rescaled /10 (reference FasterRCNNData.py:68)
+    np.testing.assert_allclose(t.boxes[0], [1.0, 1.0, 5.0, 4.0])
+    assert t.masks.shape[1:] == (16, 24)
+
+
+def test_mask_to_heatmap_bridge():
+    from dmmfods_tpu.agents.detection_baseline import instance_masks_to_heatmaps
+
+    masks = np.zeros((3, 8, 8), np.float32)
+    masks[0, :4, :4] = 0.9   # class 0
+    masks[1, 2:6, 2:6] = 0.6  # class 0 (overlapping)
+    masks[2, 5:, 5:] = 0.8   # class 2
+    labels = np.array([0, 0, 2])
+    hm = np.asarray(instance_masks_to_heatmaps(masks, labels, 3))
+    assert hm.shape == (8, 8, 3)
+    assert hm[3, 3, 0] == pytest.approx(0.9)  # max over overlapping instances
+    assert hm[5, 5, 2] == pytest.approx(0.8)
+    assert hm[:, :, 1].max() == 0.0
+    # score filtering drops low-confidence instances
+    hm2 = np.asarray(
+        instance_masks_to_heatmaps(masks, labels, 3, scores=np.array([0.9, 0.1, 0.9]),
+                                   score_threshold=0.5)
+    )
+    assert hm2[4, 4, 0] == 0.0  # the 0.6 mask was dropped
+
+
+def test_converter_sample_math():
+    """convert_sample end-to-end without waymo deps."""
+    from dmmfods_tpu.data.converter import convert_sample, labels_to_box_array
+
+    rng = np.random.default_rng(2)
+    img_full = rng.integers(0, 255, (1280, 1920, 3)).astype(np.float32)
+    pts = np.stack([
+        rng.uniform(0, 1920, 1000), rng.uniform(0, 1280, 1000),
+        rng.uniform(1, 70, 1000)
+    ], axis=1).astype(np.float32)
+    labels = {"0": {"type": 1, "x": 100, "y": 200, "width": 300, "height": 150}}
+    img, lidar, heat = convert_sample(img_full, pts, labels, max_points=2048)
+    assert img.shape == (128, 192, 3)
+    assert lidar.shape == (128, 192, 1)
+    assert heat.shape == (128, 192, 3)
+    # the vehicle box covers pooled region ~ [20:35, 10:40] in channel 0
+    assert heat[:, :, 0].max() == 1.0
+    assert heat[25, 20, 0] == 1.0
+    boxes = labels_to_box_array(labels)
+    assert boxes[0].tolist() == [1, 100, 200, 300, 150]

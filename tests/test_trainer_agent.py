@@ -80,6 +80,7 @@ def test_agent_end_to_end(tmp_path):
     cfg.model.num_init_features = 16
     cfg.agent.max_epoch = 2
     cfg.dataset.images.size = (3, 64, 32)  # (C, W, H) per reference convention
+    cfg.tpu.mesh.data = 2  # synthetic batch of 2 must divide the data axis
 
     class Loader:
         def __init__(self):
@@ -95,8 +96,11 @@ def test_agent_end_to_end(tmp_path):
     assert agent.current_train_iteration == 4  # 2 epochs x 2 batches
     assert agent.best_val_iou >= 0.0
 
-    # checkpoint written; a new agent resumes counters from it
+    # checkpoint written every epoch; a new agent resumes counters from it.
+    # (the *best* checkpoint is only written when val IoU improves, which
+    # random data can't guarantee — resume from the epoch checkpoint)
     agent2 = Dense_U_Net_lidar_Agent(cfg, torchvision_init=False, data_loader=Loader())
+    agent2.load_checkpoint(filename="checkpoint")
     assert agent2.current_train_iteration == 4
     assert agent2.current_epoch == 1
     p_old = jax.tree_util.tree_leaves(agent.state.params)[0]
