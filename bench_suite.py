@@ -171,6 +171,12 @@ def main():
     parser.add_argument("--json", default="")
     args = parser.parse_args()
 
+    if args.configs.strip() == "1":
+        # config 1 is CPU-only: avoid attaching the TPU client at all
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     results = []
     for key in args.configs.split(","):
         key = key.strip()

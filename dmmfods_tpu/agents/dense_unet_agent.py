@@ -47,6 +47,11 @@ class Dense_U_Net_lidar_Agent:
         """
         self.logger = logging.getLogger("Agent")
 
+        # correctness tooling (SURVEY.md §5.2: the functional-purity analogue
+        # of sanitizers): surface NaNs at the op that produced them
+        if config is not None and config.get("tpu", {}).get("debug_nans", False):
+            jax.config.update("jax_debug_nans", True)
+
         # model (+ config creation if None — reference agent:44-48)
         self.model = densenet121_u_lidar(
             pretrained=torchvision_init and (
@@ -195,8 +200,18 @@ class Dense_U_Net_lidar_Agent:
         return batch
 
     def train_one_epoch(self):
+        # profiling hook (SURVEY.md §5.1 rebuild): trace a few steps of the
+        # first epoch into the run's summary dir for TensorBoard/Perfetto
+        profile_steps = int(self.config.tpu.get("profile_steps", 0))
+        profiling = False
         epoch_metrics = []
-        for image, lidar, ht_map in self.data_loader.train_loader:
+        for i, (image, lidar, ht_map) in enumerate(self.data_loader.train_loader):
+            if profile_steps and self.current_epoch == 0 and i == 1:
+                jax.profiler.start_trace(self.config.dir.current_run.summary)
+                profiling = True
+            if profiling and i == 1 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             image, lidar, ht_map = self._put((image, lidar, ht_map))
             self.step_timer.start()
             self.state, m = self.train_step(self.state, image, lidar, ht_map)
@@ -215,6 +230,8 @@ class Dense_U_Net_lidar_Agent:
             )
             self.current_train_iteration += 1
 
+        if profiling:
+            jax.profiler.stop_trace()
         self.train_summary_writer.flush()
         self._log_epoch("Training", epoch_metrics)
 

@@ -95,8 +95,10 @@ def create_config(host_dir=""):
         "memory_efficient": False,
     }
 
-    # loss params (reference helper.py:125-133)
+    # loss params (reference helper.py:125-133; `type` is a new knob wiring
+    # the focal variants the reference ships but never connects)
     config["loss"] = {
+        "type": "bce",  # bce | focal | class_wise_focal
         "alpha": 1,
         "gamma": 2,
         "logits": True,
@@ -158,8 +160,9 @@ def create_config(host_dir=""):
         "compute_dtype": "bfloat16",  # matmul/conv dtype on TPU; f32 for parity tests
         "param_dtype": "float32",
         "mesh": {
-            "data": -1,   # -1: all remaining devices on the data axis
-            "model": 1,   # tensor-parallel axis (output-channel sharding)
+            "data": -1,    # -1: all remaining devices on the data axis
+            "spatial": 1,  # image-H sharding (sequence-parallel analogue)
+            "model": 1,    # tensor-parallel axis (output-channel sharding)
         },
         "shard_channel_threshold": 256,  # min out-channels for TP sharding
         "remat": False,                  # jax.checkpoint the encoder blocks

@@ -66,6 +66,7 @@ class ModelSpec:
     dtype: Any = jnp.float32
     remat: bool = False
     use_fused_kernels: bool = False
+    dense_block_impl: str = "concat"  # 'concat' | 'buffer' (see DenseBlock)
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -88,6 +89,7 @@ class ModelSpec:
             kwargs["dtype"] = jnp.dtype(tpu.get("compute_dtype", "float32"))
             kwargs["remat"] = bool(tpu.get("remat", False))
             kwargs["use_fused_kernels"] = bool(tpu.get("use_fused_kernels", False))
+            kwargs["dense_block_impl"] = tpu.get("dense_block_impl", "concat")
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -192,7 +194,17 @@ class DenseLayer(nn.Module):
 
 
 class DenseBlock(nn.Module):
-    """Concatenating dense block (torchvision ``_DenseBlock`` semantics)."""
+    """Concatenating dense block (torchvision ``_DenseBlock`` semantics).
+
+    Two implementations, numerically identical and sharing param names:
+
+    * ``impl='concat'``: the textbook re-concat per layer (what torch does);
+      XLA materializes a growing concat every layer — O(L^2) HBM traffic.
+    * ``impl='buffer'``: the block's final feature buffer is allocated once
+      and each layer writes its ``growth_rate`` new channels via
+      ``dynamic_update_slice`` (in-place for XLA); layers read a static
+      prefix slice. Same math, linear traffic.
+    """
 
     num_layers: int
     growth_rate: int
@@ -200,21 +212,37 @@ class DenseBlock(nn.Module):
     drop_rate: float
     dtype: Any
     remat: bool = False
+    impl: str = "concat"
 
     @nn.compact
     def __call__(self, x, train: bool):
         layer_cls = DenseLayer
         if self.remat:
             layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
-        features = x
-        for i in range(self.num_layers):
-            new = layer_cls(
+
+        def layer(i, feats):
+            return layer_cls(
                 growth_rate=self.growth_rate,
                 bn_size=self.bn_size,
                 drop_rate=self.drop_rate,
                 dtype=self.dtype,
                 name=f"denselayer{i + 1}",
-            )(features, train)
+            )(feats, train)
+
+        if self.impl == "buffer":
+            c0 = x.shape[-1]
+            c_final = c0 + self.num_layers * self.growth_rate
+            buf = jnp.zeros(x.shape[:-1] + (c_final,), x.dtype)
+            buf = lax.dynamic_update_slice(buf, x, (0, 0, 0, 0))
+            for i in range(self.num_layers):
+                width = c0 + i * self.growth_rate
+                new = layer(i, lax.slice_in_dim(buf, 0, width, axis=3))
+                buf = lax.dynamic_update_slice(buf, new, (0, 0, 0, width))
+            return buf
+
+        features = x
+        for i in range(self.num_layers):
+            new = layer(i, features)
             features = jnp.concatenate([features, new], axis=-1)
         return features
 
@@ -290,6 +318,7 @@ class Encoder(nn.Module):
                 drop_rate=spec.drop_rate,
                 dtype=spec.dtype,
                 remat=spec.remat,
+                impl=spec.dense_block_impl,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -508,6 +537,7 @@ class DenseUNetLidar(nn.Module):
                 drop_rate=spec.drop_rate,
                 dtype=spec.dtype,
                 remat=spec.remat,
+                impl=spec.dense_block_impl,
                 name=f"features_denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate

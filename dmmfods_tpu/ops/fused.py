@@ -57,8 +57,17 @@ def concat_bn_relu_conv1x1(a, b, *, scale, bias, mean, var, kernel, eps=1e-5,
     w = kernel.reshape(kernel.shape[-2], kernel.shape[-1])  # (Ca+Cb, Cout)
 
     if use_pallas is None:
-        use_pallas = _HAS_PALLAS and any(
-            d.platform == "tpu" for d in jax.devices()
+        rows = a.shape[0] * a.shape[1] * a.shape[2]
+        # Mosaic compile errors surface at execution (after the try below),
+        # so gate eligibility statically: TPU present, row count tileable,
+        # and channel dims lane-aligned.
+        use_pallas = (
+            _HAS_PALLAS
+            and any(d.platform == "tpu" for d in jax.devices())
+            and rows % 128 == 0
+            and a.shape[-1] % 128 == 0
+            and b.shape[-1] % 128 == 0
+            and w.shape[-1] % 128 == 0
         )
     if use_pallas:
         try:

@@ -263,18 +263,25 @@ def lidar_points_to_range_image(
         lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < num_valid
     )
 
+    # Build the 5x5 footprint as ONE scatter over all kernel_size^2 offsets
+    # (a chain of 25 scatters makes XLA keep 25 full-res buffers live — OOM
+    # at training batch sizes; a single scatter needs only one).
+    offsets_y = jnp.repeat(jnp.arange(-shift, shift + 1), kernel_size)  # (k*k,)
+    offsets_x = jnp.tile(jnp.arange(-shift, shift + 1), kernel_size)
+    ty = (py[:, None] + offsets_y[None, :]).reshape(-1)  # (n*k*k,)
+    tx = (px[:, None] + offsets_x[None, :]).reshape(-1)
+    ok = (
+        jnp.repeat(valid, kernel_size * kernel_size)
+        & (ty >= 0) & (ty <= height - 2) & (tx >= 0) & (tx <= width - 2)
+    )
+    ty = jnp.where(ok, ty, 0)
+    tx = jnp.where(ok, tx, 0)
+
     if mode == "nearest":
         # scatter-min of distance; +inf init, then -1 for untouched pixels
+        val = jnp.where(ok, jnp.repeat(d, kernel_size * kernel_size), jnp.inf)
         img = jnp.full((height, width), jnp.inf, jnp.float32)
-        for dy in range(-shift, shift + 1):
-            for dx in range(-shift, shift + 1):
-                ty = py + dy
-                tx = px + dx
-                ok = valid & (ty >= 0) & (ty <= height - 2) & (tx >= 0) & (tx <= width - 2)
-                ty = jnp.where(ok, ty, 0)
-                tx = jnp.where(ok, tx, 0)
-                val = jnp.where(ok, d, jnp.inf)
-                img = img.at[ty, tx].min(val, mode="drop")
+        img = img.at[ty, tx].min(val, mode="drop")
         img = jnp.where(jnp.isinf(img), -1.0, img)
         return img[:, :, None]
 
@@ -285,16 +292,9 @@ def lidar_points_to_range_image(
     # that winner's distance. Later points have larger indices, so max-index
     # == last-written, reproducing sequential overwrite.
     order = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    key = jnp.where(ok, jnp.repeat(order, kernel_size * kernel_size), -1)
     winner = jnp.full((height, width), -1, jnp.int32)
-    for dy in range(-shift, shift + 1):
-        for dx in range(-shift, shift + 1):
-            ty = py + dy
-            tx = px + dx
-            ok = valid & (ty >= 0) & (ty <= height - 2) & (tx >= 0) & (tx <= width - 2)
-            ty = jnp.where(ok, ty, 0)
-            tx = jnp.where(ok, tx, 0)
-            key = jnp.where(ok, order, -1)
-            winner = winner.at[ty, tx].max(key, mode="drop")
+    winner = winner.at[ty, tx].max(key, mode="drop")
     img = jnp.where(winner >= 0, d[jnp.clip(winner, 0, n - 1)], -1.0)
     return img[:, :, None]
 
@@ -342,6 +342,20 @@ def downsize_image(img):
     """10x avg-pool for RGB storage downsizing (reference helper.py:430-436).
     ``(H, W, C)`` -> ``(H//10, W//10, C)``."""
     return avgpool2d(img, 10)
+
+
+def boxes_to_point_heatmaps(bbs, size_maps=(1080, 1920, 3)):
+    """Point-sparse heat maps from a bounding-box corner array.
+
+    Channel-last re-design of the reference's (unused) ``bbs_To_Heatmaps``
+    (helper.py:734-746): one hot pixel per box at its (x, y) coordinate in
+    its class channel. ``bbs``: int ``(N, 3)`` rows ``[class_idx, x, y]``.
+    Returns ``(H, W, C)``.
+    """
+    bbs = jnp.asarray(bbs, jnp.int32)
+    h, w, c = size_maps
+    heatmaps = jnp.zeros((h, w, c), jnp.float32)
+    return heatmaps.at[bbs[:, 2], bbs[:, 1], bbs[:, 0]].set(1.0, mode="drop")
 
 
 # Batched convenience wrappers -------------------------------------------------

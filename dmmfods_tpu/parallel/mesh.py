@@ -30,35 +30,57 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
-def make_mesh(config=None, *, data=None, model=None, devices=None) -> Mesh:
-    """Build a ``(data, model)`` mesh from ``config.tpu.mesh`` or overrides.
+def make_mesh(config=None, *, data=None, spatial=None, model=None, devices=None) -> Mesh:
+    """Build a ``(data, spatial, model)`` mesh from ``config.tpu.mesh`` or
+    overrides.
 
-    ``data == -1`` (default) consumes all devices left after the ``model``
-    axis. Axis order puts ``model`` innermost so tensor-parallel collectives
-    ride the fastest ICI links.
+    ``data == -1`` (default) consumes all devices left after the other axes.
+    Axis order puts ``model`` innermost so tensor-parallel collectives ride
+    the fastest ICI links; ``spatial`` (image-H sharding — the conv net's
+    sequence-parallel analogue, SURVEY.md §5.7) sits between.
     """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if config is not None:
         mesh_cfg = config.tpu.mesh
         data = mesh_cfg.data if data is None else data
+        spatial = mesh_cfg.get("spatial", 1) if spatial is None else spatial
         model = mesh_cfg.model if model is None else model
     model = 1 if model in (None, -1) else int(model)
-    data = int(data) if data not in (None, -1) else n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs more than the {n} available devices")
-    # an explicit smaller mesh uses the first data*model devices
-    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+    spatial = 1 if spatial in (None, -1) else int(spatial)
+    data = int(data) if data not in (None, -1) else n // (model * spatial)
+    if data * spatial * model > n:
+        raise ValueError(
+            f"mesh {data}x{spatial}x{model} needs more than the {n} available devices"
+        )
+    # Size-1 axes are dropped: XLA's SPMD partitioner handles a degenerate
+    # mesh dimension pathologically (observed: a (4,1,2) mesh takes >10x
+    # longer to compile the train step than the equivalent (4,2)). Sharding
+    # helpers below only reference axes present in the mesh.
+    axes = [(name, size) for name, size in
+            (("data", data), ("spatial", spatial), ("model", model)) if size > 1]
+    if not axes:
+        axes = [("data", 1)]
+    total = 1
+    for _, size in axes:
+        total *= size
+    dev_array = np.asarray(devices[:total]).reshape([size for _, size in axes])
+    return Mesh(dev_array, axis_names=tuple(name for name, _ in axes))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading batch axis over ``data``; replicate the rest."""
-    return NamedSharding(mesh, P("data"))
+    """Shard batch over ``data`` and image rows over ``spatial`` (no-op when
+    the spatial axis has size 1)."""
+    return NamedSharding(mesh, batch_spec(mesh))
 
 
-def batch_spec() -> P:
-    return P("data")
+def batch_spec(mesh: Mesh | None = None) -> P:
+    if mesh is None:
+        return P("data")
+    data = "data" if "data" in mesh.shape else None
+    if mesh.shape.get("spatial", 1) > 1:
+        return P(data, "spatial")
+    return P(data)
 
 
 def param_partition_spec(path_names, leaf, mesh: Mesh, threshold: int = 256) -> P:
@@ -69,7 +91,7 @@ def param_partition_spec(path_names, leaf, mesh: Mesh, threshold: int = 256) -> 
     convs) is replicated — at this model scale replication is free and keeps
     collectives off the critical path.
     """
-    model_size = mesh.shape["model"]
+    model_size = mesh.shape.get("model", 1)
     if model_size == 1:
         return P()
     if leaf.ndim == 4 and path_names and path_names[-1] == "kernel":
@@ -97,6 +119,30 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, sharded over ``data``."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_host_local_batch(batch, mesh: Mesh):
+    """Multi-host input path: each host supplies its *local* slice of the
+    global batch and the pieces are stitched into one global sharded array
+    (the moral successor of per-worker DataLoader shards; SURVEY.md §5.8).
+
+    On a single host this is identical to :func:`shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch,
+    )
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Sequence-parallel analogue for the conv U-Net (SURVEY.md §5.7): shard
+    the image H axis over the ``spatial`` mesh dim; XLA inserts the halo
+    exchanges the 3x3/5x5/7x7 convs need. Use with high-resolution inputs
+    whose activations don't fit one chip."""
+    return NamedSharding(mesh, P("data", "spatial"))
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -95,7 +95,7 @@ def make_train_step(module, tx, config, *, loss_fn: Optional[Callable] = None,
 
     def step(state: TrainState, rgb, lidar, ht_map):
         if mesh is not None:
-            constraint = jax.sharding.NamedSharding(mesh, mesh_lib.batch_spec())
+            constraint = jax.sharding.NamedSharding(mesh, mesh_lib.batch_spec(mesh))
             rgb = jax.lax.with_sharding_constraint(rgb, constraint)
             if lidar is not None:
                 lidar = jax.lax.with_sharding_constraint(lidar, constraint)
@@ -137,7 +137,7 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
 
     def step(state: TrainState, rgb, lidar, ht_map):
         if mesh is not None:
-            constraint = jax.sharding.NamedSharding(mesh, mesh_lib.batch_spec())
+            constraint = jax.sharding.NamedSharding(mesh, mesh_lib.batch_spec(mesh))
             rgb = jax.lax.with_sharding_constraint(rgb, constraint)
             if lidar is not None:
                 lidar = jax.lax.with_sharding_constraint(lidar, constraint)

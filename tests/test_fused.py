@@ -1,0 +1,56 @@
+"""Fused concat+BN+ReLU+1x1 correctness: the fused op (jnp fallback on CPU;
+Pallas kernel on TPU) must match the naive concat -> BN -> ReLU -> conv1x1
+reference computation."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dmmfods_tpu.ops.fused import concat_bn_relu_conv1x1
+
+
+def _naive(a, b, scale, bias, mean, var, kernel, eps=1e-5):
+    cat = jnp.concatenate([a, b], axis=-1)
+    norm = (cat - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    act = jnp.maximum(norm, 0.0)
+    return jax.lax.conv_general_dilated(
+        act, kernel, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def test_fused_matches_naive():
+    rng = np.random.default_rng(0)
+    B, H, W, Ca, Cb, Cout = 2, 8, 16, 12, 12, 24
+    a = jnp.asarray(rng.normal(size=(B, H, W, Ca)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(B, H, W, Cb)), jnp.float32)
+    scale = jnp.asarray(rng.normal(size=(Ca + Cb,)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(Ca + Cb,)), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=(Ca + Cb,)), jnp.float32)
+    var = jnp.asarray(np.abs(rng.normal(size=(Ca + Cb,))) + 0.3, jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(1, 1, Ca + Cb, Cout)), jnp.float32)
+
+    ref = np.asarray(_naive(a, b, scale, bias, mean, var, kernel))
+    out = np.asarray(
+        concat_bn_relu_conv1x1(a, b, scale=scale, bias=bias, mean=mean, var=var,
+                               kernel=kernel)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_fused_model_path_matches_unfused():
+    """Inference with use_fused_kernels on == off for the full mid-fusion model."""
+    from dmmfods_tpu.models.dense_unet_lidar import DenseUNetLidar, ModelSpec
+
+    spec = ModelSpec(growth_rate=8, block_config=(2, 2), num_init_features=16)
+    spec_fused = ModelSpec(growth_rate=8, block_config=(2, 2), num_init_features=16,
+                           use_fused_kernels=True)
+    rgb = jnp.asarray(np.random.default_rng(1).normal(size=(1, 32, 64, 3)), jnp.float32)
+    lidar = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 64, 1)), jnp.float32)
+
+    m1 = DenseUNetLidar(spec)
+    variables = m1.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    out1 = np.asarray(m1.apply(variables, rgb, lidar, False))
+    m2 = DenseUNetLidar(spec_fused)
+    out2 = np.asarray(m2.apply(variables, rgb, lidar, False))
+    np.testing.assert_allclose(out1, out2, atol=2e-4)

@@ -116,6 +116,30 @@ def test_agent_end_to_end(tmp_path):
         assert tag in text
 
 
+def test_spatial_sharding_forward_matches(tiny_setup):
+    """SP analogue (SURVEY §5.7): H-axis sharded forward == replicated."""
+    cfg, bundle, tx, state = tiny_setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = mesh_lib.make_mesh(data=2, spatial=4, model=1)
+    sh = mesh_lib.spatial_sharding(mesh)
+    img, lidar, ht = make_batch(batch_size=2, h=32, w=64, seed=5)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def fwd(v, a, b):
+        a = jax.lax.with_sharding_constraint(a, sh)
+        b = jax.lax.with_sharding_constraint(b, sh)
+        return bundle.module.apply(v, a, b, False)
+
+    img_s = jax.device_put(img, sh)
+    lidar_s = jax.device_put(lidar, sh)
+    out_sharded = jax.jit(fwd)(variables, img_s, lidar_s)
+    out_ref = bundle.module.apply(variables, img, lidar, False)
+    np.testing.assert_allclose(
+        np.asarray(out_sharded), np.asarray(out_ref), atol=1e-4
+    )
+
+
 def test_multichip_dp_tp_sharding(tiny_setup):
     """Full train step over a (4, 2) data x model mesh on 8 CPU devices:
     batch sharded over 'data', wide conv kernels sharded over 'model'."""
