@@ -247,6 +247,11 @@ def lidar_points_to_range_image(
         ``'nearest'`` keeps the closest point instead — physically preferable
         and cheaper (single scatter-min), used by the device-side fast path.
 
+    Returns a 2-D ``(height, width)`` image: a trailing singleton channel at
+    full resolution would be lane-padded 1 -> 128 by the TPU layout
+    (observed: a (32, 1280, 1920, 1) f32 buffer allocates 40 GB); the
+    channel dim is added after pooling (``pool_lidar_image``).
+
     Empty pixels are ``-1.0`` as in the reference (helper.py:501). The
     reference's slice clamping means the last row and column are never
     written (``max_y = shape-1`` exclusive, helper.py:507-511); reproduced.
@@ -282,8 +287,7 @@ def lidar_points_to_range_image(
         val = jnp.where(ok, jnp.repeat(d, kernel_size * kernel_size), jnp.inf)
         img = jnp.full((height, width), jnp.inf, jnp.float32)
         img = img.at[ty, tx].min(val, mode="drop")
-        img = jnp.where(jnp.isinf(img), -1.0, img)
-        return img[:, :, None]
+        return jnp.where(jnp.isinf(img), -1.0, img)
 
     if mode != "last":
         raise ValueError(f"unknown splat mode {mode!r}")
@@ -295,8 +299,7 @@ def lidar_points_to_range_image(
     key = jnp.where(ok, jnp.repeat(order, kernel_size * kernel_size), -1)
     winner = jnp.full((height, width), -1, jnp.int32)
     winner = winner.at[ty, tx].max(key, mode="drop")
-    img = jnp.where(winner >= 0, d[jnp.clip(winner, 0, n - 1)], -1.0)
-    return img[:, :, None]
+    return jnp.where(winner >= 0, d[jnp.clip(winner, 0, n - 1)], -1.0)
 
 
 LIDAR_MAX_RANGE = 75.0
@@ -323,12 +326,17 @@ def pool_lidar_image(range_image):
     Matches reference ``pool_lidar_tensor`` (helper.py:446-491): the (20, 10)
     receptive field (> stride) swallows empty pixels between scan lines; the
     one-row bottom replicate pad restores 128 rows; leftover empty (-2) values
-    become 0. Input ``(1280, 1920, 1)`` -> output ``(128, 192, 1)``.
+    become 0. Input ``(1280, 1920)`` (or with a trailing singleton channel)
+    -> output ``(128, 192, 1)``.
     """
+    if range_image.ndim == 3:
+        range_image = range_image[:, :, 0]
     x = bin_lidar_range(range_image)
-    x = maxpool2d(x, (20, 10), (10, 10))
-    x = jnp.concatenate([x, x[-1:, :, :]], axis=0)  # replicate-pad bottom row
-    return jnp.where(x < 0.0, 0.0, x)
+    x = lax.reduce_window(
+        x, -jnp.inf, lax.max, (20, 10), (10, 10), "VALID"
+    )
+    x = jnp.concatenate([x, x[-1:, :]], axis=0)  # replicate-pad bottom row
+    return jnp.where(x < 0.0, 0.0, x)[:, :, None]
 
 
 def lidar_points_to_model_input(points, num_valid, height=1280, width=1920, *, mode="last"):

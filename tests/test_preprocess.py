@@ -126,9 +126,7 @@ def test_lidar_splat_last_wins_matches_oracle():
         ],
         axis=1,
     ).astype(np.float32)
-    ours = np.asarray(
-        pp.lidar_points_to_range_image(pts, n, H, W, mode="last")
-    ).squeeze(-1)
+    ours = np.asarray(pp.lidar_points_to_range_image(pts, n, H, W, mode="last"))
     ref = oracle_lidar_splat(pts, H, W)
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
@@ -138,16 +136,16 @@ def test_lidar_splat_padding_rows_ignored():
     pts[0] = [50, 50, 10.0]
     # rows 1..9 are padding (num_valid=1) and must not write
     pts[1] = [80, 80, 5.0]
-    ours = np.asarray(pp.lidar_points_to_range_image(pts, 1, H, W, mode="last")).squeeze(-1)
+    ours = np.asarray(pp.lidar_points_to_range_image(pts, 1, H, W, mode="last"))
     assert ours[50, 50] == 10.0
     assert ours[80, 80] == -1.0
 
 
 def test_lidar_splat_nearest_mode():
     pts = np.array([[50, 50, 30.0], [50, 50, 10.0], [50, 50, 20.0]], np.float32)
-    ours = np.asarray(pp.lidar_points_to_range_image(pts, 3, H, W, mode="nearest")).squeeze(-1)
+    ours = np.asarray(pp.lidar_points_to_range_image(pts, 3, H, W, mode="nearest"))
     assert ours[50, 50] == 10.0  # closest wins
-    last = np.asarray(pp.lidar_points_to_range_image(pts, 3, H, W, mode="last")).squeeze(-1)
+    last = np.asarray(pp.lidar_points_to_range_image(pts, 3, H, W, mode="last"))
     assert last[50, 50] == 20.0  # last wins
 
 
@@ -155,7 +153,7 @@ def test_lidar_binning_and_pool():
     rng = np.random.default_rng(2)
     img = rng.uniform(-1, 80, (1280, 1920)).astype(np.float32)
     img[rng.random((1280, 1920)) < 0.6] = -1.0  # sparse empties
-    ours = np.asarray(pp.pool_lidar_image(img[:, :, None])).squeeze(-1)
+    ours = np.asarray(pp.pool_lidar_image(img)).squeeze(-1)
     ref = oracle_pool_lidar(img)
     assert ours.shape == (128, 192)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
