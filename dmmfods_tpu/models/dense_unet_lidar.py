@@ -220,6 +220,25 @@ class DenseBlock(nn.Module):
         if self.remat:
             layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
 
+        if self._pallas_eligible(x, train):
+            # inference fast path: the whole block runs as one Pallas kernel
+            # with the growing feature buffer resident in VMEM (measured
+            # 1.37x over the XLA lowering on v5e at DenseNet-121 block
+            # shapes). Params are the same tree the normal path registers.
+            from ..ops.pallas.dense_block import (
+                dense_block_pallas, fold_block_params_jnp,
+            )
+
+            variables = self.variables
+            folded = fold_block_params_jnp(
+                variables["params"], variables["batch_stats"],
+                self.num_layers, x.shape[-1], self.growth_rate, self.bn_size,
+            )
+            return dense_block_pallas(
+                x, folded, num_layers=self.num_layers, c0=x.shape[-1],
+                growth=self.growth_rate, h=x.shape[1], w=x.shape[2],
+            )
+
         def layer(i, feats):
             return layer_cls(
                 growth_rate=self.growth_rate,
@@ -245,6 +264,23 @@ class DenseBlock(nn.Module):
             new = layer(i, features)
             features = jnp.concatenate([features, new], axis=-1)
         return features
+
+    def _pallas_eligible(self, x, train: bool) -> bool:
+        if self.impl != "pallas" or train or self.is_initializing():
+            return False
+        if self.drop_rate > 0 or not any(
+            d.platform == "tpu" for d in jax.devices()
+        ):
+            return False
+        stats = self.variables.get("batch_stats", {})
+        if "denselayer1" not in stats:
+            return False
+        from ..ops.pallas.dense_block import eligible
+
+        return eligible(
+            self.num_layers, x.shape[-1], self.growth_rate, self.bn_size,
+            x.shape[1], x.shape[2], dtype_bytes=jnp.dtype(self.dtype).itemsize,
+        )
 
 
 class Transition(nn.Module):
