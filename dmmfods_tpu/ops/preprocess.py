@@ -340,10 +340,75 @@ def pool_lidar_image(range_image):
 
 
 def lidar_points_to_model_input(points, num_valid, height=1280, width=1920, *, mode="last"):
-    """Full device-side LiDAR path: splat -> bin -> pool. -> (H/10, W/10, 1)."""
+    """Full device-side LiDAR path: splat -> bin -> pool -> (H/10, W/10, 1).
+
+    ``mode='nearest_pooled'`` is the training fast path: it skips the
+    full-resolution range image entirely (see
+    :func:`lidar_points_to_model_input_pooled`).
+    """
+    if mode == "nearest_pooled":
+        return lidar_points_to_model_input_pooled(points, num_valid, height, width)
     return pool_lidar_image(
         lidar_points_to_range_image(points, num_valid, height, width, mode=mode)
     )
+
+
+def lidar_points_to_model_input_pooled(points, num_valid, height=1280, width=1920):
+    """Direct-to-pooled LiDAR fast path (equivalent to ``mode='nearest'``).
+
+    The binning formula is monotonically DECREASING in distance, so the
+    (20, 10) max-pool of the binned full-res image equals
+    ``bin(min distance among splatted pixels in the window)``. Instead of
+    scattering 25 offsets into the 1280x1920 image (profiled at ~340 ms/step
+    for batch 32 training — 9x the model itself), scatter-min distances
+    straight onto the 127x192 pooled grid: each point's 5x5 footprint
+    intersects at most 3 pooled rows (20-tall windows, stride 10) x 2 pooled
+    cols, i.e. 6 scatter rows/point instead of 25 onto a 33x smaller target.
+
+    Numerically identical to ``pool_lidar_image(splat(mode='nearest'))``
+    (verified in tests), including the footprint edge clamps and the bottom
+    replicate-pad row.
+    """
+    points = jnp.asarray(points, jnp.float32)
+    n = points.shape[0]
+    out_h = height // 10 - 1  # pre-pad rows: (height - 20) // 10 + 1
+    out_w = width // 10
+
+    px = jnp.trunc(points[:, 0]).astype(jnp.int32)
+    py = jnp.trunc(points[:, 1]).astype(jnp.int32)
+    d = points[:, 2]
+    valid = lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < num_valid
+
+    # clipped 5x5 footprint bounds (matching the splat's edge semantics:
+    # rows/cols [max(p-2,0), min(p+2, dim-2)])
+    ylo = jnp.maximum(py - 2, 0)
+    yhi = jnp.minimum(py + 2, height - 2)
+    xlo = jnp.maximum(px - 2, 0)
+    xhi = jnp.minimum(px + 2, width - 2)
+    fp_valid = valid & (ylo <= yhi) & (xlo <= xhi)
+
+    img = jnp.full((out_h, out_w), jnp.inf, jnp.float32)
+    r_top = jnp.floor_divide(yhi, 10)     # last window whose start <= yhi
+    c_top = jnp.floor_divide(xhi, 10)
+    for dr in (0, 1, 2):                  # windows are 20 tall / stride 10
+        for dc in (0, 1):                 # windows are 10 wide / stride 10
+            r = r_top - dr
+            c = c_top - dc
+            ok = (
+                fp_valid
+                & (r >= 0) & (r < out_h) & (c >= 0) & (c < out_w)
+                & (10 * r + 20 > ylo)     # window intersects footprint rows
+                & (10 * c + 10 > xlo)     # window intersects footprint cols
+            )
+            rr = jnp.where(ok, r, 0)
+            cc = jnp.where(ok, c, 0)
+            val = jnp.where(ok, d, jnp.inf)
+            img = img.at[rr, cc].min(val, mode="drop")
+
+    # empty windows: every full-res pixel is -1 -> 76 -> binned -2 -> clamp 0
+    binned = jnp.where(jnp.isinf(img), -2.0, bin_lidar_range(img))
+    binned = jnp.concatenate([binned, binned[-1:, :]], axis=0)  # replicate pad
+    return jnp.where(binned < 0.0, 0.0, binned)[:, :, None]
 
 
 def downsize_image(img):

@@ -155,7 +155,8 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
 
 
 def make_train_step_raw(module, tx, config, *, mesh=None, donate=True,
-                        full_height=1280, full_width=1920, splat_mode="nearest"):
+                        full_height=1280, full_width=1920,
+                        splat_mode="nearest_pooled"):
     """Train step with *device-side preprocessing fused in* (the north-star
     replacement for the reference's offline per-sample ETL, SURVEY.md §3.5):
 

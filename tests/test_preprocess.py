@@ -159,6 +159,29 @@ def test_lidar_binning_and_pool():
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_pooled_fast_path_matches_nearest_pipeline():
+    """The direct-to-pooled LiDAR fast path must equal
+    pool(bin(splat(mode='nearest'))) exactly, including edge clamps."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    pts = np.stack([
+        rng.uniform(-3, 1923, n),          # includes out-of-bounds points
+        rng.uniform(-3, 1283, n),
+        rng.uniform(0.5, 80.0, n),
+    ], axis=1).astype(np.float32)
+    num_valid = 2500  # padding tail must be ignored
+    ref = np.asarray(pp.pool_lidar_image(
+        pp.lidar_points_to_range_image(pts, num_valid, 1280, 1920, mode="nearest")
+    ))
+    fast = np.asarray(pp.lidar_points_to_model_input_pooled(pts, num_valid, 1280, 1920))
+    np.testing.assert_allclose(fast, ref, atol=1e-4)
+    # and via the dispatching wrapper
+    fast2 = np.asarray(pp.lidar_points_to_model_input(
+        pts, num_valid, 1280, 1920, mode="nearest_pooled"
+    ))
+    np.testing.assert_allclose(fast2, ref, atol=1e-4)
+
+
 def test_bin_lidar_range_formulas():
     x = np.array([0.0, 25.0, 75.0, 76.5, -1.0, 50.0], np.float32)
     out = np.asarray(pp.bin_lidar_range(x))
