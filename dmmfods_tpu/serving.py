@@ -106,6 +106,18 @@ class InferenceEngine:
         pad = np.zeros((bucket - n,) + arr.shape[1:], arr.dtype)
         return np.concatenate([arr, pad], axis=0)
 
+    def _to_device(self, arr, bucket):
+        """Pad and transfer; dtype conversion happens on device.
+
+        NOTE(perf): converting to bf16 on the host first (numpy/ml_dtypes
+        software cast) was measured SLOWER end-to-end on a 1-core host
+        (8.8 s vs 5.4 s per b256 request over the dev tunnel) — the cast
+        costs more host CPU than the halved transfer saves. On a production
+        TPU-VM (PCIe + many cores) feeding uint8/bf16 from the data source
+        directly is the right fix; the engine accepts any input dtype.
+        """
+        return jnp.asarray(self._pad(arr, bucket), self._dtype)
+
     def run(self, rgb, lidar=None):
         """Synchronous scoring of one request (any batch size <= max bucket;
         larger requests are chunked)."""
@@ -123,8 +135,8 @@ class InferenceEngine:
             bucket = self._bucket_for(n)
             out = self._forward(
                 self._variables,
-                jnp.asarray(self._pad(r, bucket), self._dtype),
-                jnp.asarray(self._pad(l, bucket), self._dtype),
+                self._to_device(r, bucket),
+                self._to_device(l, bucket),
             )
             outs.append(np.asarray(out[:n], np.float32))
         return np.concatenate(outs, axis=0)
@@ -163,8 +175,8 @@ class InferenceEngine:
                 # returns immediately, overlapping with the fetch below
                 out = self._forward(
                     self._variables,
-                    jnp.asarray(self._pad(rgb, bucket), self._dtype),
-                    jnp.asarray(self._pad(lidar, bucket), self._dtype),
+                    self._to_device(rgb, bucket),
+                    self._to_device(lidar, bucket),
                 )
                 pending.append((out, n, future))
             # keep at most one batch in flight beyond the current fetch
