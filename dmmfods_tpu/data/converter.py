@@ -224,7 +224,8 @@ def save_data_in_batch(config, buckets, mode, *, rng=None):
             vec[j, :, :, :3] = load(join(root, files[idx]))
             vec[j, :, :, 3:4] = load(join(root, path, "lidar", "lidar_img_" + image))
             vec[j, :, :, 4:] = load(join(root, path, "heat_maps", "heat_map_img_" + image))
-            with open(join(root, path, "labels", "labels_img_" + image.replace(".npz", "")), "rb") as fh:
+            stem = image.replace(".npz", "").replace(".npy", "")
+            with open(join(root, path, "labels", "labels_img_" + stem), "rb") as fh:
                 batch_dict[j] = pickle.load(fh)
 
         np.save(join(save_dir_batch, f"{i % 99}.npy"), vec)

@@ -45,11 +45,21 @@ def _load_array(path):
     return torch.load(path, map_location="cpu", weights_only=False).numpy()
 
 
-def _to_nhwc(batch_chw):
-    """(N, C, H, W) or (C, H, W) -> channel-last float32."""
-    a = np.asarray(batch_chw, np.float32)
+def _to_nhwc(arr):
+    """Any stored sample/batch layout -> channel-last float32.
+
+    Legacy torch files are channel-first ((C, H, W) / (N, C, H, W)); our
+    converter writes channel-last. Channels are 1/3/7; spatial dims are
+    always larger, so the layout is detected from the shape.
+    """
+    a = np.asarray(arr, np.float32)
+    channels = (1, 3, 7)
     if a.ndim == 4:
+        if a.shape[-1] in channels and a.shape[1] not in channels:
+            return a  # already (N, H, W, C)
         return np.transpose(a, (0, 2, 3, 1))
+    if a.shape[-1] in channels and a.shape[0] not in channels:
+        return a  # already (H, W, C)
     return np.transpose(a, (1, 2, 0))
 
 

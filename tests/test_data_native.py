@@ -193,3 +193,41 @@ def test_converter_sample_math():
     assert heat[25, 20, 0] == 1.0
     boxes = labels_to_box_array(labels)
     assert boxes[0].tolist() == [1, 100, 200, 300, 150]
+
+
+def test_batch_serializer_round_trip(tmp_path):
+    """converter.save_data_in_batch output loads through WaymoDataset."""
+    import pickle
+
+    from dmmfods_tpu.data.converter import save_data_in_batch
+
+    cfg = get_config(str(tmp_path))
+    root = Path(cfg.dir.data.root)
+    rng = np.random.default_rng(0)
+    # per-sample converted layout: bucket/tf_x/{images,lidar,heat_maps,labels}
+    h, w = 16, 24
+    cfg.dataset.images.size = (3, w, h)
+    cfg.dataset.batch_size = 4
+    tfdir = root / "bucket0" / "tf_0"
+    for sub in ("images", "lidar", "heat_maps", "labels"):
+        (tfdir / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(8):
+        stem = f"img_0_0_{i}_0"
+        np.save(tfdir / "images" / (stem + ".npy"),
+                rng.random((h, w, 3)).astype(np.float32))
+        np.save(tfdir / "lidar" / ("lidar_" + stem + ".npy"),
+                rng.random((h, w, 1)).astype(np.float32))
+        np.save(tfdir / "heat_maps" / ("heat_map_" + stem + ".npy"),
+                rng.random((h, w, 3)).astype(np.float32))
+        with open(tfdir / "labels" / ("labels_" + stem), "wb") as fh:
+            pickle.dump({"0": {"type": 1, "x": 1, "y": 2, "width": 30, "height": 40}}, fh)
+
+    n = save_data_in_batch(cfg, "bucket0", "train")
+    assert n == 2  # 8 samples / batch 4
+
+    ds = WaymoDataset("train", cfg)
+    assert len(ds) == 2
+    img, lidar, ht = ds[0]
+    assert img.shape == (4, h, w, 3)
+    assert lidar.shape == (4, h, w, 1)
+    assert ht.shape == (4, h, w, 3)

@@ -173,3 +173,28 @@ def test_multichip_dp_tp_sharding(tiny_setup):
     img2, lidar2, ht2 = make_batch(batch_size=8, h=32, w=64, seed=2)
     _, m_single = step_single(state_single, img2, lidar2, ht2)
     np.testing.assert_allclose(float(m["loss"]), float(m_single["loss"]), rtol=1e-4)
+
+
+def test_focal_loss_training(tiny_setup):
+    """config.loss.type='focal' wires the focal objective into the step."""
+    cfg, bundle, tx, _ = tiny_setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.loss.type = "focal"
+    state = trainer_lib.create_train_state(bundle, tx)
+    step = trainer_lib.make_train_step(bundle.module, tx, cfg2, donate=False)
+    img, lidar, ht = make_batch(batch_size=2, h=32, w=64, seed=9)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, img, lidar, ht)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # focal loss != bce loss for the same inputs
+    step_bce = trainer_lib.make_train_step(bundle.module, tx, cfg, donate=False)
+    state_b = trainer_lib.create_train_state(bundle, tx)
+    _, mb = step_bce(state_b, img, lidar, ht)
+    state_f = trainer_lib.create_train_state(bundle, tx)
+    _, mf = step(state_f, img, lidar, ht)
+    assert abs(float(mb["loss"]) - float(mf["loss"])) > 1.0
