@@ -201,6 +201,37 @@ def centernet_loss(outputs, targets, *, alpha=2.0, beta=4.0,
     return total, {"heat_loss": heat_loss, "size_loss": size_loss, "offset_loss": off_loss}
 
 
+def make_detection_train_step(detector: CenterNetDetector, tx, *,
+                              out_height, out_width, stride=4, donate=True):
+    """Jitted detector train step:
+    ``(params, batch_stats, opt_state, rgb, lidar, boxes) ->
+    (params, batch_stats, opt_state, loss, parts)``
+    with target generation fused in-graph (padded box buffers in)."""
+    import optax
+
+    def step(params, batch_stats, opt_state, rgb, lidar, boxes):
+        targets = jax.vmap(
+            lambda b: make_center_targets(b, out_height, out_width, stride=stride)
+        )(boxes)
+
+        def loss_fn(p):
+            out, mutated = detector.apply(
+                {"params": p, "batch_stats": batch_stats}, rgb, lidar, True,
+                mutable=["batch_stats"],
+            )
+            loss, parts = centernet_loss(out, targets)
+            return loss, (parts, mutated["batch_stats"])
+
+        (loss, (parts, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_stats, new_opt_state, loss, parts
+
+    return jax.jit(step, donate_argnums=(0, 1, 2) if donate else ())
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

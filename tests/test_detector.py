@@ -137,3 +137,30 @@ def test_bridge_integration():
     assert hm.shape == (128, 192, 3)
     assert hm[60, 80, 0] > 0.99
     assert hm[:, :, 1].max() == 0.0
+
+
+def test_make_detection_train_step():
+    import optax
+
+    from dmmfods_tpu.models.detector import make_detection_train_step
+
+    det = _tiny_detector()
+    rng = np.random.default_rng(1)
+    rgb = jnp.asarray(rng.normal(0.5, 0.2, (2, 64, 96, 3)), jnp.float32)
+    lidar = jnp.asarray(rng.normal(size=(2, 64, 96, 1)), jnp.float32)
+    boxes = np.zeros((2, 4, 5), np.int32)
+    boxes[:, 0] = [1, 20, 20, 40, 24]
+    variables = det.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    tx = optax.adam(1e-3)
+    step = make_detection_train_step(det, tx, out_height=16, out_width=24, donate=False)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    losses = []
+    for _ in range(4):
+        params, stats, opt_state, loss, parts = step(
+            params, stats, opt_state, rgb, lidar, jnp.asarray(boxes)
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert set(parts) == {"heat_loss", "size_loss", "offset_loss"}
