@@ -121,7 +121,7 @@ def test_spatial_sharding_forward_matches(tiny_setup):
     cfg, bundle, tx, state = tiny_setup
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
-    mesh = mesh_lib.make_mesh(data=2, spatial=4, model=1)
+    mesh = mesh_lib.make_mesh(data=2, spatial=2, model=1)  # small: compile cost
     sh = mesh_lib.spatial_sharding(mesh)
     img, lidar, ht = make_batch(batch_size=2, h=32, w=64, seed=5)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
