@@ -162,7 +162,12 @@ def _avgpool_2x2_s2(x):
 
 
 def _nearest_upsample_2x(x):
-    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    # single broadcast + reshape: one materialization of the 2x tensor
+    # (chained jnp.repeat writes the H-doubled intermediate too — profiled
+    # ~2 ms/step extra HBM traffic at batch 256)
+    b, h, w, c = x.shape
+    out = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return out.reshape(b, 2 * h, 2 * w, c)
 
 
 class DenseLayer(nn.Module):
@@ -473,7 +478,15 @@ class DecoderStage(nn.Module):
 class Head(nn.Module):
     """Final refinement to heat-map logits: BN-ReLU-Conv3x3-BN-ReLU-Conv5x5
     over the concat of decoder output and raw network input
-    (reference ``dec_out_to_heat_maps`` model:123-132)."""
+    (reference ``dec_out_to_heat_maps`` model:123-132).
+
+    NOTE(perf): a fused upsample+refine0 phase-collapse (computing the
+    up-channel contribution at low resolution; exact, 44% of the tap
+    matmuls) was implemented and measured SLOWER end-to-end on v5e
+    (5396 vs 5815 frames/s at batch 256) — the 4 phase convs + interleave
+    cost more than the saved broadcast. XLA's plain conv over the
+    materialized upsample wins; keep the straightforward formulation.
+    """
 
     mid_features: int
     num_classes: int
@@ -493,6 +506,7 @@ class Head(nn.Module):
             self.num_classes, (5, 5), padding=((2, 2), (2, 2)), use_bias=False,
             kernel_init=_CONV_INIT, name="refine1", dtype=self.dtype,
         )(x)
+
 
 
 # ---------------------------------------------------------------------------
@@ -553,13 +567,10 @@ class DenseUNetLidar(nn.Module):
         assert not skips and not shapes
 
         x = _nearest_upsample_2x(x)  # reference model:120
-
         # head over concat with the raw input (reference model:264-265)
         x = jnp.concatenate([x, raw_skip], axis=-1)
-        x = Head(stage_features[-1] // 2, spec.num_classes, dt, name="dec_out_to_heat_maps")(
-            x, train
-        )
-        return x
+        return Head(stage_features[-1] // 2, spec.num_classes, dt,
+                    name="dec_out_to_heat_maps")(x, train)
 
     def _encode_with_fusion(self, enc_in, s2, train):
         """Main-stream encoder with the mid-fusion concat inserted right after
