@@ -63,6 +63,9 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
 
-        inv = lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
-        return y.astype(self.dtype)
+        # stats stay f32; the big elementwise pass runs in the compute dtype
+        # (folded per-channel gamma/beta — halves train-time activation
+        # traffic at bf16)
+        gamma = lax.rsqrt(var + self.epsilon) * scale
+        beta = bias - mean * gamma
+        return (x * gamma.astype(self.dtype) + beta.astype(self.dtype)).astype(self.dtype)
