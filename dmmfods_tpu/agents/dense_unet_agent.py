@@ -250,6 +250,10 @@ class Dense_U_Net_lidar_Agent:
             self.val_summary_writer.add_class_scalars(
                 "Validation/IoU", m["iou_per_class"], self.current_val_iteration
             )
+            if "ap_per_class" in m:
+                self.val_summary_writer.add_class_scalars(
+                    "Validation/AP", m["ap_per_class"], self.current_val_iteration
+                )
             self.current_val_iteration += 1
 
         self.val_summary_writer.flush()

@@ -95,6 +95,41 @@ def cmd_assess(args):
     print(f"wrote {len(out)} panels to {args.out_dir}")
 
 
+def cmd_port(args):
+    """Convert a torch checkpoint (torchvision densenet or a full
+    reference-trained model) into an orbax checkpoint loadable by the Agent."""
+    import torch
+
+    from .models.dense_unet_lidar import densenet121_u_lidar
+    from .models.torch_port import load_full_torch_model, load_torchvision_encoder
+    from .utils import checkpoint as ckpt_lib
+    from . import trainer as trainer_lib
+
+    config = _load_config(args)
+    bundle = densenet121_u_lidar(config=config)
+    raw = torch.load(args.torch_checkpoint, map_location="cpu", weights_only=False)
+    # reference agent checkpoints nest the model under the state_dict key
+    state_dict = raw.get(config.agent.checkpoint.state_dict, raw) if isinstance(raw, dict) else raw
+
+    if args.full_model:
+        variables, missing = load_full_torch_model(bundle.variables, state_dict, bundle.spec)
+        if missing:
+            print(f"note: {len(missing)} checkpoint keys had no target "
+                  f"(first: {missing[:3]})")
+    else:
+        variables = load_torchvision_encoder(bundle.variables, state_dict, bundle.spec)
+
+    tx = trainer_lib.make_optimizer(config)
+    path = ckpt_lib.save_checkpoint(
+        config,
+        params=variables["params"], batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        epoch=0, train_iteration=0, val_iteration=0, best_val_iou=0.0,
+        filename=args.name, is_best=False,
+    )
+    print(f"ported checkpoint written to {path}")
+
+
 def cmd_bench(args):
     import subprocess
 
@@ -138,6 +173,14 @@ def main(argv=None):
     p.add_argument("--num-samples", type=int, default=4)
     p.add_argument("--out-dir", default="assessment")
     p.set_defaults(fn=cmd_assess)
+
+    p = sub.add_parser("port", help="convert a torch checkpoint to orbax")
+    common(p)
+    p.add_argument("torch_checkpoint")
+    p.add_argument("--full-model", action="store_true",
+                   help="import decoder/head too (reference-trained model)")
+    p.add_argument("--name", default="ported_checkpoint")
+    p.set_defaults(fn=cmd_port)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.add_argument("bench_args", nargs="*")

@@ -149,6 +149,9 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
         elementwise = losses.bce_with_logits(logits, ht_map)
         step_metrics = _step_metrics(logits, ht_map, elementwise, iou_threshold)
         step_metrics["loss"] = loss_fn(logits, ht_map)
+        # heat-map AP (probability domain) — the benchmark-grade metric the
+        # north star tracks alongside the reference's thresholded IoU
+        step_metrics["ap_per_class"] = metrics.heatmap_average_precision(ht_map, logits)
         return step_metrics
 
     return jax.jit(step)
