@@ -120,3 +120,29 @@ def test_heatmap_ap_sane():
     terrible = -perfect
     ap_bad = np.asarray(metrics.heatmap_average_precision(gt, terrible))
     assert (ap_bad < ap).all()
+
+
+def test_boxes_to_point_heatmaps():
+    from dmmfods_tpu.ops.preprocess import boxes_to_point_heatmaps
+
+    bbs = np.array([[0, 5, 7], [2, 100, 200]], np.int32)  # [class, x, y]
+    hm = np.asarray(boxes_to_point_heatmaps(bbs, (256, 256, 3)))
+    assert hm.shape == (256, 256, 3)
+    assert hm[7, 5, 0] == 1.0
+    assert hm[200, 100, 2] == 1.0
+    assert hm.sum() == 2.0
+    # out-of-bounds points are dropped, not wrapped
+    oob = np.array([[1, 9999, 9999]], np.int32)
+    hm2 = np.asarray(boxes_to_point_heatmaps(oob, (64, 64, 3)))
+    assert hm2.sum() == 0.0
+
+
+def test_ap_empty_ground_truth():
+    # a class with no GT anywhere: precision 0 at every threshold -> AP ~ 0
+    gt = np.zeros((2, 8, 8, 3), np.float32)
+    gt[:, :4, :4, 0] = 1.0  # only class 0 has objects
+    logits = np.where(gt > 0.5, 10.0, -10.0).astype(np.float32)
+    logits[..., 1] = 10.0  # class 1 predicts everywhere despite empty GT
+    ap = np.asarray(metrics.heatmap_average_precision(gt, logits))
+    assert ap[0] > 0.95
+    assert ap[1] < 0.05
