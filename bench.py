@@ -96,7 +96,8 @@ def main():
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=192)
     parser.add_argument("--dtype", default="bfloat16")
-    parser.add_argument("--fused", action="store_true", default=True)
+    parser.add_argument("--fused", action=argparse.BooleanOptionalAction, default=True,
+                        help="use fused kernels (disable with --no-fused)")
     args = parser.parse_args()
 
     import jax

@@ -132,8 +132,12 @@ def cmd_port(args):
 
 def cmd_bench(args):
     import subprocess
+    from pathlib import Path
 
-    cmd = [sys.executable, "bench.py"] + (args.bench_args or [])
+    # resolve bench.py relative to the installed package's repo root, not the
+    # caller's CWD, so `dmmfods-tpu bench` works from anywhere
+    bench = Path(__file__).resolve().parents[1] / "bench.py"
+    cmd = [sys.executable, str(bench)] + (args.bench_args or [])
     raise SystemExit(subprocess.call(cmd))
 
 

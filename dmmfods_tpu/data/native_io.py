@@ -51,6 +51,10 @@ def _load():
     lib.dmm_prefetcher_create.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
     ]
+    lib.dmm_prefetcher_peek.restype = ctypes.c_int
+    lib.dmm_prefetcher_peek.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_int64)
+    ] * 3
     lib.dmm_prefetcher_next.restype = ctypes.c_int
     lib.dmm_prefetcher_next.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_float)
@@ -130,16 +134,25 @@ class NativePrefetcher:
         )
         self._keepalive = arr
         self._handle = lib.dmm_prefetcher_create(arr, len(self._paths), depth, num_threads)
-        self._shapes = [npy_shape(p) for p in self._paths[:1]]
 
     def __iter__(self):
         count = 0
         while count < len(self._paths):
-            shape = self._shapes[0]
-            if shape[3] == 7:
-                n, h, w = shape[0], shape[1], shape[2]
+            # peek the next ready batch's actual dims so buffer sizes always
+            # match what the C++ side will memcpy (files may differ, e.g. a
+            # short final pack)
+            pn, ph, pw = ctypes.c_int64(), ctypes.c_int64(), ctypes.c_int64()
+            pstatus = self._lib.dmm_prefetcher_peek(
+                self._handle, ctypes.byref(pn), ctypes.byref(ph), ctypes.byref(pw)
+            )
+            if pstatus == -1:
+                return
+            if pstatus != 0:
+                # decode error: pop it via next with no-op buffers to surface
+                # the status and keep the stream draining
+                n, h, w = 0, 0, 0
             else:
-                n, h, w = shape[0], shape[2], shape[3]
+                n, h, w = pn.value, ph.value, pw.value
             img = np.empty((n, h, w, 3), np.float32)
             lidar = np.empty((n, h, w, 1), np.float32)
             ht = np.empty((n, h, w, 3), np.float32)

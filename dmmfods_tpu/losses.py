@@ -73,6 +73,28 @@ def class_wise_focal_loss(
     return jnp.mean(loss) if reduce else loss
 
 
+def make_elementwise_loss_fn(config):
+    """Elementwise form of the configured training loss ``(B,H,W,C)->(B,H,W,C)``.
+
+    The scalar objective is always the sum of this; the per-class logging
+    breakdown (agent:248) is its ``(0,1,2)``-axis sum — so training curves
+    reflect the actual optimized objective for every ``config.loss.type``."""
+    loss_type = config.loss.get("type", "bce")
+    if loss_type == "bce":
+        return bce_with_logits
+    if loss_type == "focal":
+        alpha, gamma = config.loss.alpha, config.loss.gamma
+        return lambda logits, targets: focal_loss(
+            logits, targets, alpha, gamma, from_logits=config.loss.logits, reduce=False
+        )
+    if loss_type == "class_wise_focal":
+        alpha, gamma = config.loss.alpha, config.loss.gamma
+        return lambda logits, targets: class_wise_focal_loss(
+            logits, targets, alpha, gamma, from_logits=config.loss.logits, reduce=False
+        )
+    raise ValueError(f"unknown loss type {loss_type!r}")
+
+
 def make_loss_fn(config):
     """Build the configured training loss. ``config.loss`` carries the focal
     hyperparams (helper.py:125-133); the reference agent itself always uses

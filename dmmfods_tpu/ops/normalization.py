@@ -57,7 +57,11 @@ class TorchBatchNorm(nn.Module):
             n = x.size // features
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            # E[x^2]-E[x]^2 can go slightly negative under cancellation
+            # (large mean, tiny variance); clamp before rsqrt/EMA like flax.
+            var = jnp.maximum(
+                jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean), 0.0
+            )
             if not initializing:
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean

@@ -172,13 +172,19 @@ class InferenceEngine:
                 n = rgb.shape[0]
                 bucket = self._bucket_for(n)
                 # dispatch is async: this enqueues transfer + compute and
-                # returns immediately, overlapping with the fetch below
-                out = self._forward(
-                    self._variables,
-                    self._to_device(rgb, bucket),
-                    self._to_device(lidar, bucket),
-                )
-                pending.append((out, n, future))
+                # returns immediately, overlapping with the fetch below.
+                # A bad request (wrong rank/shape) must fail ITS future, not
+                # kill the worker thread and hang every queued client.
+                try:
+                    out = self._forward(
+                        self._variables,
+                        self._to_device(rgb, bucket),
+                        self._to_device(lidar, bucket),
+                    )
+                except Exception as exc:
+                    future.set_exception(exc)
+                else:
+                    pending.append((out, n, future))
             # keep at most one batch in flight beyond the current fetch
             while pending and (len(pending) > 1 or not self._running or item is False):
                 out, n, future = pending.pop(0)

@@ -89,7 +89,11 @@ def make_train_step(module, tx, config, *, loss_fn: Optional[Callable] = None,
                     mesh=None, donate=True):
     """Build the jitted train step:
     ``(state, rgb, lidar, ht_map) -> (state, metrics)``."""
-    loss_fn = loss_fn or losses.make_loss_fn(config)
+    # the per-class logging breakdown is the elementwise form of the SAME
+    # objective being optimized (not always BCE) — scalar loss is its sum
+    elementwise_fn = (
+        losses.make_elementwise_loss_fn(config) if loss_fn is None else None
+    )
     iou_threshold = config.agent.iou_threshold
     single_stream = config.model.stream_2_in_channels == 0
 
@@ -108,8 +112,12 @@ def make_train_step(module, tx, config, *, loss_fn: Optional[Callable] = None,
                 mutable=["batch_stats"],
             )
             logits = logits.astype(jnp.float32)
-            elementwise = losses.bce_with_logits(logits, ht_map)
-            loss = loss_fn(logits, ht_map)
+            if elementwise_fn is not None:
+                elementwise = elementwise_fn(logits, ht_map)
+                loss = jnp.sum(elementwise)
+            else:
+                elementwise = losses.bce_with_logits(logits, ht_map)
+                loss = loss_fn(logits, ht_map)
             return loss, (logits, elementwise, mutated["batch_stats"])
 
         (loss, (logits, elementwise, new_stats)), grads = jax.value_and_grad(
@@ -131,7 +139,9 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
     """Build the jitted eval step:
     ``(state, rgb, lidar, ht_map) -> metrics`` (running stats frozen,
     reference ``validate`` agent:309-398)."""
-    loss_fn = loss_fn or losses.make_loss_fn(config)
+    elementwise_fn = (
+        losses.make_elementwise_loss_fn(config) if loss_fn is None else None
+    )
     iou_threshold = config.agent.iou_threshold
     single_stream = config.model.stream_2_in_channels == 0
 
@@ -146,9 +156,14 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
         logits = module.apply(
             variables, rgb, None if single_stream else lidar, False
         ).astype(jnp.float32)
-        elementwise = losses.bce_with_logits(logits, ht_map)
+        if elementwise_fn is not None:
+            elementwise = elementwise_fn(logits, ht_map)
+            loss = jnp.sum(elementwise)
+        else:
+            elementwise = losses.bce_with_logits(logits, ht_map)
+            loss = loss_fn(logits, ht_map)
         step_metrics = _step_metrics(logits, ht_map, elementwise, iou_threshold)
-        step_metrics["loss"] = loss_fn(logits, ht_map)
+        step_metrics["loss"] = loss
         # heat-map AP (probability domain) — the benchmark-grade metric the
         # north star tracks alongside the reference's thresholded IoU
         step_metrics["ap_per_class"] = metrics.heatmap_average_precision(ht_map, logits)

@@ -264,6 +264,21 @@ void* dmm_prefetcher_create(const char** paths, int64_t num_paths,
   return p;
 }
 
+// Block until the next decoded batch is ready and report its dims WITHOUT
+// popping it, so the caller can allocate exact-size buffers before calling
+// dmm_prefetcher_next. Returns the batch status (0 ok), or -1 when exhausted.
+int dmm_prefetcher_peek(void* handle, int64_t* n, int64_t* h, int64_t* w) {
+  auto* p = (DmmPrefetcher*)handle;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [&] {
+    return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
+  });
+  if (p->ready.empty()) return -1;  // exhausted
+  DmmBatch* b = p->ready.front();
+  if (b->status == 0) { *n = b->n; *h = b->h; *w = b->w; }
+  return b->status;
+}
+
 // Pop the next decoded batch; copies into caller buffers. Returns the batch
 // status (0 ok), or -1 when the stream is exhausted.
 int dmm_prefetcher_next(void* handle, float* img, float* lidar, float* ht,

@@ -21,6 +21,28 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
+# Modules dominated by XLA model/train-step compiles (minutes on a 1-core
+# host). Everything else is the fast always-run tier: `pytest -m fast`.
+_SLOW_MODULES = {
+    "test_model", "test_trainer_agent", "test_device_preprocess",
+    "test_serving", "test_fused", "test_pallas_dense_block", "test_detector",
+    "test_reference_parity", "test_detection_agent",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: compile-heavy (model/trainer) tests")
+    config.addinivalue_line("markers", "fast: quick math/IO tier, runs in <1 min")
+
 
 @pytest.fixture(scope="session")
 def tiny_config(tmp_path_factory):

@@ -134,6 +134,29 @@ def test_native_io_roundtrip(tmp_path):
     pf.close()
 
 
+def test_native_prefetcher_mixed_sizes(tmp_path):
+    """Buffers are sized from each batch's own header (a short final pack or
+    a larger later file must not read into a first-file-sized buffer)."""
+    native_io = pytest.importorskip("dmmfods_tpu.data.native_io")
+    if not native_io.available():
+        pytest.skip("native lib not built")
+    rng = np.random.default_rng(7)
+    files, refs = [], {}
+    for i, n in enumerate([2, 5, 1]):  # larger file AFTER a smaller one
+        a = rng.random((n, 8, 12, 7)).astype(np.float32)
+        p = tmp_path / f"m{i}.npy"
+        np.save(p, a)
+        files.append(p)
+        refs[n] = a
+    got = {img.shape[0]: (img, lidar, ht)
+           for img, lidar, ht in native_io.NativePrefetcher(files, depth=3, num_threads=2)}
+    assert sorted(got) == [1, 2, 5]
+    for n, (img, lidar, ht) in got.items():
+        np.testing.assert_array_equal(img, refs[n][..., :3])
+        np.testing.assert_array_equal(lidar, refs[n][..., 3:4])
+        np.testing.assert_array_equal(ht, refs[n][..., 4:])
+
+
 def test_detection_adapter(batched_config):
     cfg = batched_config
     _make_batched_layout(cfg.dir.data.root, "train", n=4)
