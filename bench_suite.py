@@ -85,10 +85,19 @@ def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="
     }
 
 
-def bench_train_dp(steps=6):
-    """Config 5: data-parallel mid-fusion training with device-side
-    preprocessing (single real chip here; the dp path is exercised via the
-    mesh machinery with data=1 and validated at 8 devices in tests)."""
+def bench_train_dp(steps=6, mode="host"):
+    """Config 5: data-parallel mid-fusion training from raw records.
+
+    ``mode='host'`` (the production default, ``tpu.splat='host'``): heat
+    maps rasterized in-graph from boxes; the LiDAR splat runs in the C++
+    host runtime, overlapped with device compute — measured here both ways
+    (the in-step cost, and the host splat wall time it has to hide under).
+    ``mode='device'``: the fully in-graph path (``make_train_step_raw``),
+    kept measured because it documents *why* the splat lives on the host
+    (XLA scatter serializes; see data/host_preprocess.py).
+    """
+    import time as _time
+
     import jax
 
     from dmmfods_tpu import trainer as trainer_lib
@@ -99,7 +108,6 @@ def bench_train_dp(steps=6):
     tx = trainer_lib.make_optimizer(cfg)
     state = trainer_lib.create_train_state(bundle, tx)
     state = jax.device_put(state, mesh_lib.replicated(mesh))
-    step = trainer_lib.make_train_step_raw(bundle.module, tx, cfg, mesh=mesh, donate=False)
 
     rng = np.random.default_rng(0)
     b, n_pts, n_boxes = 32, 32768, 64
@@ -111,7 +119,28 @@ def bench_train_dp(steps=6):
     num_valid = np.full((b,), n_pts, np.int32)
     boxes = np.zeros((b, n_boxes, 5), np.int32)
     boxes[:, :8] = [1, 100, 100, 300, 200]
-    batch = mesh_lib.shard_batch((image, points, num_valid, boxes), mesh)
+
+    extra = {}
+    if mode == "device":
+        step = trainer_lib.make_train_step_raw(
+            bundle.module, tx, cfg, mesh=mesh, donate=False)
+        batch = mesh_lib.shard_mixed_batch((image, points, num_valid, boxes), mesh)
+    else:
+        from dmmfods_tpu.data import host_preprocess
+
+        # host splat wall time (what the prefetch threads must hide)
+        offsets = np.arange(b + 1, dtype=np.int64) * n_pts
+        concat = points.reshape(-1, 3)
+        lidar = host_preprocess.splat_pooled_batch(concat, offsets, 1280, 1920)
+        t0 = _time.perf_counter()
+        for _ in range(5):
+            lidar = host_preprocess.splat_pooled_batch(concat, offsets, 1280, 1920)
+        extra["host_splat_ms_per_batch"] = round(
+            (_time.perf_counter() - t0) / 5 * 1000, 2)
+
+        step = trainer_lib.make_train_step_ht(
+            bundle.module, tx, cfg, mesh=mesh, donate=False)
+        batch = mesh_lib.shard_mixed_batch((image, lidar, boxes), mesh)
 
     def run(s, *args):
         new_state, m = step(s, *args)
@@ -119,12 +148,13 @@ def bench_train_dp(steps=6):
 
     med = _time_fn(lambda *a: run(state, *batch), (), steps)
     return {
-        "config": "5_train_dp_device_preprocess",
-        "resolution": "128x192 (+1280x1920 lidar splat in-graph)",
+        "config": f"5_train_dp_raw_records_splat_{mode}",
+        "resolution": "128x192 (heat maps rasterized in-graph from boxes)",
         "batch": b,
         "median_step_s": round(med, 5),
         "frames_per_s": round(b / med, 1),
         "params": bundle.num_params,
+        **extra,
     }
 
 
@@ -146,6 +176,7 @@ CONFIGS = {
         128, 192, 64, steps,
     ),
     "5": lambda steps: bench_train_dp(steps),
+    "5d": lambda steps: bench_train_dp(steps, mode="device"),
 }
 
 

@@ -82,13 +82,40 @@ class Dense_U_Net_lidar_Agent:
             replicated = mesh_lib.replicated(self.mesh)
             self.state = jax.device_put(self.state, replicated)
 
-        self.train_step = trainer_lib.make_train_step(
-            self.model.module, self.tx, self.config, mesh=self.mesh,
-            donate=self.config.tpu.get("donate", True),
-        )
-        self.eval_step = trainer_lib.make_eval_step(
-            self.model.module, self.config, mesh=self.mesh
-        )
+        # step selection: dense offline tensors (reference-equivalent) vs
+        # raw records with north-star preprocessing (heat maps rasterized
+        # in-graph; LiDAR splat on the host runtime or in-graph per
+        # `tpu.splat` — see data/host_preprocess.py for the measured design)
+        tpu = self.config.tpu
+        donate = tpu.get("donate", True)
+        self.device_preprocess = bool(tpu.get("device_preprocess", False))
+        _, full_w, full_h = self.config.dataset.images["original.size"]
+        if self.device_preprocess and tpu.get("splat", "host") == "device":
+            self.train_step = trainer_lib.make_train_step_raw(
+                self.model.module, self.tx, self.config, mesh=self.mesh,
+                donate=donate, full_height=full_h, full_width=full_w,
+            )
+            self.eval_step = trainer_lib.make_eval_step_raw(
+                self.model.module, self.config, mesh=self.mesh,
+                full_height=full_h, full_width=full_w,
+            )
+        elif self.device_preprocess:
+            self.train_step = trainer_lib.make_train_step_ht(
+                self.model.module, self.tx, self.config, mesh=self.mesh,
+                donate=donate, full_height=full_h, full_width=full_w,
+            )
+            self.eval_step = trainer_lib.make_eval_step_ht(
+                self.model.module, self.config, mesh=self.mesh,
+                full_height=full_h, full_width=full_w,
+            )
+        else:
+            self.train_step = trainer_lib.make_train_step(
+                self.model.module, self.tx, self.config, mesh=self.mesh,
+                donate=donate,
+            )
+            self.eval_step = trainer_lib.make_eval_step(
+                self.model.module, self.config, mesh=self.mesh
+            )
 
         # counters (reference agent:70-73)
         self.current_epoch = 0
@@ -196,7 +223,7 @@ class Dense_U_Net_lidar_Agent:
 
     def _put(self, batch):
         if self.mesh is not None:
-            return mesh_lib.shard_batch(batch, self.mesh)
+            return mesh_lib.shard_mixed_batch(batch, self.mesh)
         return batch
 
     def train_one_epoch(self):
@@ -205,16 +232,20 @@ class Dense_U_Net_lidar_Agent:
         profile_steps = int(self.config.tpu.get("profile_steps", 0))
         profiling = False
         epoch_metrics = []
-        for i, (image, lidar, ht_map) in enumerate(self.data_loader.train_loader):
+        # batch tuples: dense (image, lidar, ht_map) | host-splat raw
+        # (image, lidar, boxes) | device-splat raw
+        # (image, points, num_valid, boxes) — the step built in __init__
+        # matches the loader's storage mode
+        for i, batch in enumerate(self.data_loader.train_loader):
             if profile_steps and self.current_epoch == 0 and i == 1:
                 jax.profiler.start_trace(self.config.dir.current_run.summary)
                 profiling = True
             if profiling and i == 1 + profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
-            image, lidar, ht_map = self._put((image, lidar, ht_map))
+            batch = self._put(batch)
             self.step_timer.start()
-            self.state, m = self.train_step(self.state, image, lidar, ht_map)
+            self.state, m = self.train_step(self.state, *batch)
             self.step_timer.stop(m["loss"])
             epoch_metrics.append(m)
             # reference per-iteration scalar taxonomy (agent:268-288);
@@ -237,9 +268,9 @@ class Dense_U_Net_lidar_Agent:
 
     def validate(self):
         epoch_metrics = []
-        for image, lidar, ht_map in self.data_loader.valid_loader:
-            image, lidar, ht_map = self._put((image, lidar, ht_map))
-            m = self.eval_step(self.state, image, lidar, ht_map)
+        for batch in self.data_loader.valid_loader:
+            batch = self._put(batch)
+            m = self.eval_step(self.state, *batch)
             epoch_metrics.append(m)
             self.val_summary_writer.add_class_scalars(
                 "Validation/Loss", m["loss_per_class"], self.current_val_iteration

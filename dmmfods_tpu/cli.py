@@ -26,10 +26,13 @@ def _apply_overrides(config, pairs):
     """``--set model.growth_rate=48`` style overrides (typed via literal_eval)."""
     for pair in pairs or []:
         key, _, raw = pair.partition("=")
-        try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
-            value = raw
+        if raw.lower() in ("true", "false"):  # accept json-style booleans
+            value = raw.lower() == "true"
+        else:
+            try:
+                value = ast.literal_eval(raw)
+            except (ValueError, SyntaxError):
+                value = raw
         node = config
         parts = key.split(".")
         for p in parts[:-1]:
@@ -76,14 +79,18 @@ def cmd_convert(args):
         args.data_root or config.dir.data.root,
         small_dataset_for_testing=args.small,
         config=config,
+        store=args.store,
     )
 
 
 def cmd_batch(args):
-    from .data.converter import save_data_in_batch
+    from .data.converter import save_data_in_batch, save_raw_data_in_batch
 
     config = _load_config(args)
-    n = save_data_in_batch(config, args.buckets, args.mode)
+    if args.raw:
+        n = save_raw_data_in_batch(config, args.buckets, args.mode)
+    else:
+        n = save_data_in_batch(config, args.buckets, args.mode)
     print(f"{n} batches serialized")
 
 
@@ -164,12 +171,17 @@ def main(argv=None):
     common(p)
     p.add_argument("--data-root", default="")
     p.add_argument("--small", action="store_true", help="stop after 10 frames")
+    p.add_argument("--store", choices=["dense", "raw", "both"], default="dense",
+                   help="dense: reference-equivalent offline tensors; raw: "
+                        "points+boxes records for tpu.device_preprocess")
     p.set_defaults(fn=cmd_convert)
 
     p = sub.add_parser("batch", help="pack converted samples into batches")
     common(p)
     p.add_argument("buckets", nargs="+")
     p.add_argument("--mode", choices=["train", "val", "test"], required=True)
+    p.add_argument("--raw", action="store_true",
+                   help="pack raw records (images+points+boxes .npz)")
     p.set_defaults(fn=cmd_batch)
 
     p = sub.add_parser("assess", help="visual assessment panels")

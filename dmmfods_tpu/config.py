@@ -168,6 +168,15 @@ def create_config(host_dir=""):
         "remat": False,                  # jax.checkpoint the encoder blocks
         "prefetch_depth": 2,             # host->device pipeline depth
         "donate": True,
+        # raw-record training (north-star device-side preprocessing):
+        # train from (RGB, LiDAR points, boxes) records; heat maps are
+        # rasterized in-graph, the splat runs per `splat`
+        "device_preprocess": False,
+        "splat": "host",        # host: C++ runtime in prefetch threads
+                                # device: in-graph scatter (make_train_step_raw)
+        "max_points": 32768,    # padded point-buffer size for splat="device"
+        "splat_threads": 2,     # host-splat worker threads per batch
+        "native_prefetch": True,  # C++ read-ahead for dense .npy batch files
     }
 
     # subdirs (reference helper.py:194-209); rooted at host_dir

@@ -33,7 +33,7 @@ import json
 import os
 import pickle
 from os import listdir
-from os.path import isdir, join
+from os.path import isdir, isfile, join
 from pathlib import Path
 
 import numpy as np
@@ -114,14 +114,102 @@ def convert_sample(np_img_hwc, lidar_array, label_dict, *,
     return np.asarray(img), np.asarray(lidar), np.asarray(heat)
 
 
-def waymo_to_arrays_offline(data_root="", idx_dataset_batch=-1, *,
-                            config=None, small_dataset_for_testing=False):
-    """The reference's ``waymo_to_pytorch_offline`` (helper.py:540-651) with
-    ``.npz`` outputs and vectorized math. Walks ``data_root/tf_*/*.tfrecord``."""
-    _require_waymo()
-    import tensorflow as tf
+def convert_sample_raw(np_img_hwc, lidar_array, label_dict, *, max_boxes=64):
+    """One frame's raw pieces -> raw-record arrays (image, points, boxes).
+
+    The north-star storage format: instead of densifying LiDAR + heat maps
+    offline (reference helper.py:604-646), keep the projected points and
+    label boxes sparse; the splat runs in the host runtime's prefetch
+    threads and the heat maps are rasterized in-graph on device
+    (``trainer.make_train_step_ht``).
+    """
+    img = pp.downsize_image(np.asarray(np_img_hwc, np.float32))
+    points = np.ascontiguousarray(lidar_array, np.float32)
+    boxes = labels_to_box_array(label_dict, max_boxes)
+    return np.asarray(img), points, boxes
+
+
+def _waymo_frame_parser(data_bytes):
+    """Serialized tfrecord payload -> waymo ``Frame`` proto (helper.py:593-594)."""
     from waymo_open_dataset import dataset_pb2 as open_dataset
+
+    frame = open_dataset.Frame()
+    frame.ParseFromString(bytearray(data_bytes))
+    return frame
+
+
+def _waymo_point_cloud_fn(frame):
+    """Frame -> (points, cp_points) lists via the waymo-od library
+    (helper.py:610-617) — the compute-heavy proto decode."""
     from waymo_open_dataset.utils import frame_utils
+
+    (range_images, camera_projections, _, range_image_top_pose
+     ) = frame_utils.parse_range_image_and_camera_projection(frame)
+    return frame_utils.convert_range_image_to_point_cloud(
+        frame, range_images, camera_projections, range_image_top_pose
+    )
+
+
+def _decode_jpeg(image_bytes):
+    import tensorflow as tf
+
+    return tf.image.decode_jpeg(image_bytes).numpy()
+
+
+def convert_frame(frame, tf_data_path, stem, *, store="dense",
+                  point_cloud_fn=None, decode_image_fn=None):
+    """Convert one FRONT-camera frame and write its stored files.
+
+    ``store``: ``"dense"`` writes the reference-equivalent layout
+    (images/lidar/heat_maps/labels, helper.py:604-646); ``"raw"`` writes
+    images/points/labels for the device/host-preprocessed training path;
+    ``"both"`` writes both. Returns the number of camera images written.
+    """
+    point_cloud_fn = point_cloud_fn or _waymo_point_cloud_fn
+    decode_image_fn = decode_image_fn or _decode_jpeg
+    written = 0
+    for image in frame.images:
+        if image.name != 1:  # FRONT only (helper.py:600)
+            continue
+        np_img = decode_image_fn(image.image)
+        points, cp_points = point_cloud_fn(frame)
+        lidar_array = extract_lidar_array_from_point_cloud(points, cp_points)
+        label_dict = frame_labels_to_dict(frame, image.name)
+
+        if store in ("dense", "both"):
+            img, lidar, heat = convert_sample(np_img, lidar_array, label_dict)
+            np.savez_compressed(join(tf_data_path, "images", stem + ".npz"), img)
+            np.savez_compressed(join(tf_data_path, "lidar", "lidar_" + stem + ".npz"), lidar)
+            np.savez_compressed(
+                join(tf_data_path, "heat_maps", "heat_map_" + stem + ".npz"), heat
+            )
+        if store in ("raw", "both"):
+            img, pts, _ = convert_sample_raw(np_img, lidar_array, label_dict)
+            if store == "raw":
+                np.savez_compressed(join(tf_data_path, "images", stem + ".npz"), img)
+            np.savez_compressed(join(tf_data_path, "points", "points_" + stem + ".npz"), pts)
+        with open(join(tf_data_path, "labels", "labels_" + stem), "wb") as fh:
+            pickle.dump(label_dict, fh, protocol=pickle.HIGHEST_PROTOCOL)
+        written += 1
+    return written
+
+
+def waymo_to_arrays_offline(data_root="", idx_dataset_batch=-1, *,
+                            config=None, small_dataset_for_testing=False,
+                            store="dense", frame_parser=None,
+                            point_cloud_fn=None, decode_image_fn=None):
+    """The reference's ``waymo_to_pytorch_offline`` (helper.py:540-651) with
+    ``.npz`` outputs and vectorized math. Walks ``data_root/tf_*/*.tfrecord``.
+
+    The proto/pixel decoders are injectable (``frame_parser`` /
+    ``point_cloud_fn`` / ``decode_image_fn``) so the walk itself is testable
+    with stub frames when ``waymo_open_dataset`` is not installed; the
+    defaults use the waymo-od library.
+    """
+    if frame_parser is None:
+        _require_waymo()
+        frame_parser = _waymo_frame_parser
+    import tensorflow as tf
 
     if not data_root:
         from ..config import get_config
@@ -129,13 +217,16 @@ def waymo_to_arrays_offline(data_root="", idx_dataset_batch=-1, *,
         config = config or get_config()
         data_root = config.dir.data.root
 
+    subdirs = ("labels", "images", "lidar", "heat_maps") if store == "dense" else (
+        ("labels", "images", "points") if store == "raw"
+        else ("labels", "images", "lidar", "heat_maps", "points"))
     tf_dirs = [tfd for tfd in os.listdir(data_root) if tfd.startswith("tf_")]
     for idx_tf_dir, tf_dir in enumerate(tf_dirs):
         tf_data_path = os.path.join(data_root, tf_dir)
         for file in os.listdir(tf_data_path):
             if not file.endswith(".tfrecord"):
                 continue
-            for sub in ("labels", "images", "lidar", "heat_maps"):
+            for sub in subdirs:
                 Path(tf_data_path, sub).mkdir(exist_ok=True)
 
             dataset = tf.data.TFRecordDataset(
@@ -143,30 +234,13 @@ def waymo_to_arrays_offline(data_root="", idx_dataset_batch=-1, *,
             )
             idx_data = -1
             for idx_data, data in enumerate(dataset):
-                frame = open_dataset.Frame()
-                frame.ParseFromString(bytearray(data.numpy()))
-                for image in frame.images:
-                    if image.name != 1:  # FRONT only (helper.py:600)
-                        continue
-                    np_img = tf.image.decode_jpeg(image.image).numpy()
-                    (range_images, camera_projections, _, range_image_top_pose
-                     ) = frame_utils.parse_range_image_and_camera_projection(frame)
-                    points, cp_points = frame_utils.convert_range_image_to_point_cloud(
-                        frame, range_images, camera_projections, range_image_top_pose
-                    )
-                    lidar_array = extract_lidar_array_from_point_cloud(points, cp_points)
-                    label_dict = frame_labels_to_dict(frame, image.name)
-
-                    img, lidar, heat = convert_sample(np_img, lidar_array, label_dict)
-                    stem = f"img_{idx_dataset_batch}_{idx_tf_dir}_{idx_data}_0"
-                    np.savez_compressed(join(tf_data_path, "images", stem + ".npz"), img)
-                    np.savez_compressed(join(tf_data_path, "lidar", "lidar_" + stem + ".npz"), lidar)
-                    np.savez_compressed(
-                        join(tf_data_path, "heat_maps", "heat_map_" + stem + ".npz"), heat
-                    )
-                    with open(join(tf_data_path, "labels", "labels_" + stem), "wb") as fh:
-                        pickle.dump(label_dict, fh, protocol=pickle.HIGHEST_PROTOCOL)
-
+                frame = frame_parser(data.numpy())
+                stem = f"img_{idx_dataset_batch}_{idx_tf_dir}_{idx_data}_0"
+                convert_frame(
+                    frame, tf_data_path, stem, store=store,
+                    point_cloud_fn=point_cloud_fn,
+                    decode_image_fn=decode_image_fn,
+                )
                 if small_dataset_for_testing and idx_data == 9:
                     return 1
             print(idx_data + 1, " IMAGES PROCESSED")
@@ -231,4 +305,82 @@ def save_data_in_batch(config, buckets, mode, *, rng=None):
         np.save(join(save_dir_batch, f"{i % 99}.npy"), vec)
         with open(join(save_dir_labels, str(i % 99)), "wb") as fh:
             pickle.dump(batch_dict, fh, protocol=pickle.HIGHEST_PROTOCOL)
+    return num_batches
+
+
+def save_raw_data_in_batch(config, buckets, mode, *, rng=None, max_boxes=64):
+    """Raw-record twin of :func:`save_data_in_batch`: shuffle converted
+    samples and pack batches of (RGB, ragged LiDAR points, label boxes) into
+    one *uncompressed* ``.npz`` per file (fast to load in prefetch threads),
+    99-file subdirs, same ``mode/subsetK/{i}.npz`` layout so the dataset
+    crawler works unchanged.
+
+    Keys per file: ``images (B, h, w, 3) f32``, ``points (sum_n, 3) f32``,
+    ``offsets (B+1,) i64`` (sample i owns ``points[offsets[i]:offsets[i+1]]``),
+    ``boxes (B, max_boxes, 5) i32``.
+    """
+    final_dirs = ["train", "val", "test"]
+    if mode not in final_dirs:
+        raise ValueError("mode must be one of train, val, test. You gave " + mode)
+    if isinstance(buckets, str):
+        buckets = [buckets]
+
+    files = []
+    for bucket in buckets:
+        tf_dirs = [t for t in listdir(join(config.dir.data.root, bucket)) if t.startswith("tf_")]
+        for tf_dir in tf_dirs:
+            rel = join(bucket, tf_dir, "images")
+            full = join(config.dir.data.root, rel)
+            if isdir(full):
+                files += [join(rel, f) for f in sorted(listdir(full))]
+
+    rng = rng or np.random.default_rng(0)
+    indices = np.arange(len(files))
+    rng.shuffle(indices)
+
+    bs = config.dataset.batch_size
+    _, w, h = config.dataset.images.size  # (C, W, H) reference convention
+    mode_path = join(config.dir.data.root, mode)
+    Path(mode_path).mkdir(exist_ok=True)
+
+    def load(path):
+        from .waymo import _load_array, _to_nhwc
+
+        return _to_nhwc(_load_array(path))
+
+    root = config.dir.data.root
+    num_batches = len(indices) // bs
+    save_dir_batch = mode_path
+    for i in range(num_batches):
+        if i % 99 == 0:
+            save_dir_batch = join(mode_path, "subset" + str(i // 99))
+            Path(save_dir_batch).mkdir(exist_ok=True)
+
+        images = np.empty((bs, h, w, 3), np.float32)
+        boxes = np.zeros((bs, max_boxes, 5), np.int32)
+        point_chunks = []
+        offsets = np.zeros(bs + 1, np.int64)
+        for j in range(bs):
+            idx = indices[i * bs + j]
+            path, image = files[idx].split("images/img_")
+            images[j] = load(join(root, files[idx]))
+            stem = image.replace(".npz", "").replace(".npy", "")
+            pts_base = join(root, path, "points", "points_img_" + stem)
+            pts_path = pts_base + (".npz" if isfile(pts_base + ".npz") else ".npy")
+            loaded = np.load(pts_path)
+            if isinstance(loaded, np.lib.npyio.NpzFile):
+                with loaded:
+                    loaded = loaded[loaded.files[0]]
+            pts = np.asarray(loaded, np.float32).reshape(-1, 3)
+            point_chunks.append(pts)
+            offsets[j + 1] = offsets[j] + len(pts)
+            with open(join(root, path, "labels", "labels_img_" + stem), "rb") as fh:
+                boxes[j] = labels_to_box_array(pickle.load(fh), max_boxes)
+
+        points = (np.concatenate(point_chunks, axis=0) if point_chunks
+                  else np.zeros((0, 3), np.float32))
+        np.savez(
+            join(save_dir_batch, f"{i % 99}.npz"),
+            images=images, points=points, offsets=offsets, boxes=boxes,
+        )
     return num_batches

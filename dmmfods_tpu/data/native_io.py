@@ -61,6 +61,17 @@ def _load():
     ] * 3 + [ctypes.POINTER(ctypes.c_int64)] * 3
     lib.dmm_prefetcher_destroy.restype = None
     lib.dmm_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.dmm_splat_pooled_f32.restype = ctypes.c_int
+    lib.dmm_splat_pooled_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.dmm_splat_pooled_batch_f32.restype = ctypes.c_int
+    lib.dmm_splat_pooled_batch_f32.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+    ]
     _LIB = lib
     return lib
 
@@ -118,6 +129,42 @@ def load_batch(path):
     if status != 0:
         raise IOError(f"native batch decode failed ({status}): {path}")
     return img, lidar, ht
+
+
+def splat_pooled(points, height=1280, width=1920):
+    """One sample's LiDAR points ``(n, 3)`` -> pooled model input
+    ``(height//10, width//10, 1)`` via the C++ splat (GIL released)."""
+    lib = _load()
+    pts = np.ascontiguousarray(points, np.float32)
+    out = np.empty((height // 10, width // 10), np.float32)
+    status = lib.dmm_splat_pooled_f32(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pts),
+        height, width, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if status != 0:
+        raise ValueError(f"native splat failed ({status})")
+    return out[:, :, None]
+
+
+def splat_pooled_batch(points_concat, offsets, height=1280, width=1920,
+                       num_threads=2):
+    """Ragged batch splat: sample i owns ``points_concat[offsets[i]:offsets[i+1]]``.
+    Returns ``(batch, height//10, width//10, 1)`` float32. One C call for the
+    whole batch — the GIL is released across every sample."""
+    lib = _load()
+    pts = np.ascontiguousarray(points_concat, np.float32)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    batch = len(offs) - 1
+    out = np.empty((batch, height // 10, width // 10), np.float32)
+    status = lib.dmm_splat_pooled_batch_f32(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        batch, height, width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_threads,
+    )
+    if status != 0:
+        raise ValueError(f"native batch splat failed ({status})")
+    return out[:, :, :, None]
 
 
 class NativePrefetcher:

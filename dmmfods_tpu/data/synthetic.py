@@ -59,6 +59,59 @@ def make_batch(batch_size=4, h=128, w=192, seed=0, *, full_res=False):
     return images, np.stack(lidars), np.stack(ht_maps)
 
 
+def make_raw_batch(batch_size=4, h=128, w=192, seed=0, *, splat="host",
+                   max_points=4096, max_boxes=16, splat_threads=1):
+    """Raw-record batch for the north-star preprocessing paths.
+
+    ``splat='host'`` returns ``(image, lidar, boxes)`` with the LiDAR splat
+    done by the host runtime (``data/host_preprocess.py``) — feed
+    ``trainer.make_train_step_ht``. ``splat='device'`` returns
+    ``(image, points, num_valid, boxes)`` — feed ``make_train_step_raw``.
+    """
+    rng = np.random.default_rng(seed)
+    full_h, full_w = h * 10, w * 10
+    images = rng.normal(0.45, 0.25, (batch_size, h, w, 3)).astype(np.float32)
+    boxes = np.stack([
+        random_boxes(rng, max_boxes, height=full_h, width=full_w)
+        for _ in range(batch_size)
+    ])
+    pts_list, counts = [], []
+    for _ in range(batch_size):
+        pts, n = random_points(rng, max_points, height=full_h, width=full_w)
+        pts_list.append(pts)
+        counts.append(n)
+    if splat == "device":
+        return images, np.stack(pts_list), np.asarray(counts, np.int32), boxes
+    from . import host_preprocess
+
+    concat = np.concatenate([p[:n] for p, n in zip(pts_list, counts)], axis=0)
+    offsets = np.cumsum([0] + counts)
+    lidar = host_preprocess.splat_pooled_batch(
+        concat, offsets, full_h, full_w, splat_threads
+    )
+    return images, lidar, boxes
+
+
+class SyntheticRawDataset:
+    """Batched raw-record dataset (the ``WaymoDataset`` raw-mode interface)."""
+
+    data_is_batched = True
+
+    def __init__(self, num_batches=2, batch_size=2, h=128, w=192, seed=0,
+                 splat="host", max_points=4096):
+        self._batches = [
+            make_raw_batch(batch_size, h, w, seed + i, splat=splat,
+                           max_points=max_points)
+            for i in range(num_batches)
+        ]
+
+    def __len__(self):
+        return len(self._batches)
+
+    def __getitem__(self, idx):
+        return self._batches[idx]
+
+
 class SyntheticDataset:
     """Drop-in dataset exposing the ``WaymoDataset`` batched interface."""
 

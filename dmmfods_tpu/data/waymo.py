@@ -71,6 +71,17 @@ class WaymoDataset:
         self.data_is_batched = config.dataset.batch_size > 1
         self.mode = mode
 
+        # raw-record handling (north-star device/host preprocessing): batch
+        # files holding (RGB, ragged points, boxes) instead of dense tensors.
+        # `tpu.splat` picks where the LiDAR splat runs: "host" (default) in
+        # the C++ runtime inside prefetch threads, "device" in-graph.
+        tpu = config.get("tpu", {})
+        self.splat = tpu.get("splat", "host")
+        self.max_points = int(tpu.get("max_points", 32768))
+        self.splat_threads = int(tpu.get("splat_threads", 2))
+        _, full_w, full_h = config.dataset.images["original.size"]
+        self.full_h, self.full_w = int(full_h), int(full_w)
+
         json_file_path = join(
             config.dir.data.file_lists, mode + "_" + config.dataset.file_list_name
         )
@@ -118,6 +129,10 @@ class WaymoDataset:
         channel-last ``(N, H, W, 7)`` files from our converter.
         """
         path = join(self.root, self.files[idx])
+        if path.endswith(".npz"):
+            with np.load(path) as z:
+                if "points" in z.files:  # raw record (converter raw layout)
+                    return self._raw_record_to_batch(z)
         if path.endswith(".npy"):
             from . import native_io
 
@@ -130,6 +145,34 @@ class WaymoDataset:
         else:  # legacy (N, 7, H, W)
             nhwc = np.transpose(batch, (0, 2, 3, 1))
         return nhwc[..., :3], nhwc[..., 3:4], nhwc[..., 4:]
+
+    def _raw_record_to_batch(self, z):
+        """One raw-record file -> the training batch tuple.
+
+        ``splat == 'host'``: run the LiDAR splat now, in this prefetch
+        thread (C++ runtime, GIL-free; ``data/host_preprocess.py``) and
+        yield ``(image, lidar, boxes)`` for ``trainer.make_train_step_ht``.
+        ``splat == 'device'``: yield padded point buffers
+        ``(image, points, num_valid, boxes)`` for ``make_train_step_raw``.
+        Heat maps are rasterized in-graph either way.
+        """
+        images = np.asarray(z["images"], np.float32)
+        points = np.asarray(z["points"], np.float32)
+        offsets = np.asarray(z["offsets"], np.int64)
+        boxes = np.asarray(z["boxes"], np.int32)
+        if self.splat == "host":
+            from . import host_preprocess
+
+            lidar = host_preprocess.splat_pooled_batch(
+                points, offsets, self.full_h, self.full_w, self.splat_threads
+            )
+            return images, lidar, boxes
+        b = len(offsets) - 1
+        padded = np.zeros((b, self.max_points, 3), np.float32)
+        num_valid = np.minimum(np.diff(offsets), self.max_points).astype(np.int32)
+        for i in range(b):
+            padded[i, :num_valid[i]] = points[offsets[i]:offsets[i] + num_valid[i]]
+        return images, padded, num_valid, boxes
 
     def get_single_sample(self, idx):
         image = _to_nhwc(_load_array(join(self.root, self.files["images"][idx])))
@@ -169,13 +212,30 @@ class PrefetchLoader:
     """
 
     def __init__(self, dataset, batch_size=None, *, shuffle=False, depth=2,
-                 drop_last=False, seed=0):
+                 drop_last=False, seed=0, native_prefetch=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.depth = depth
         self.drop_last = drop_last
+        self.native_prefetch = native_prefetch
         self._rng = np.random.default_rng(seed)
+
+    def _native_paths(self):
+        """Path list for the C++ read-ahead prefetcher, or None when it does
+        not apply (needs batched dense ``.npy`` storage + the built library)."""
+        if not (self.native_prefetch and self.dataset.data_is_batched):
+            return None
+        files = getattr(self.dataset, "files", None)  # synthetic sets none
+        if not files or not all(f.endswith(".npy") for f in files):
+            return None
+        from . import native_io
+
+        if not native_io.available():
+            return None
+        from os.path import join as _join
+
+        return [_join(self.dataset.root, f) for f in files]
 
     def __len__(self):
         n = len(self.dataset)
@@ -199,8 +259,24 @@ class PrefetchLoader:
         return groups
 
     def __iter__(self):
-        q: queue.Queue = queue.Queue(maxsize=self.depth)
         groups = self._index_groups()
+
+        native_paths = self._native_paths()
+        if native_paths is not None:
+            # C++ read-ahead path: decode threads + bounded queue live in the
+            # native runtime (native/dmmfods_io.cpp); this epoch's (possibly
+            # shuffled) file order is passed through.
+            from .native_io import NativePrefetcher
+
+            ordered = [native_paths[g[0]] for g in groups]
+            prefetcher = NativePrefetcher(ordered, depth=self.depth)
+            try:
+                yield from prefetcher
+            finally:
+                prefetcher.close()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
 
         def worker():
             try:
@@ -232,7 +308,9 @@ class WaymoDataset_Loader:
 
     def __init__(self, config):
         self.mode = config.loader.mode
-        depth = config.get("tpu", {}).get("prefetch_depth", 2)
+        tpu = config.get("tpu", {})
+        depth = tpu.get("prefetch_depth", 2)
+        native = bool(tpu.get("native_prefetch", True))
 
         if self.mode == "train":
             train_set = WaymoDataset("train", config)
@@ -240,10 +318,11 @@ class WaymoDataset_Loader:
             self.train_loader = PrefetchLoader(
                 train_set, config.loader.batch_size, shuffle=True, depth=depth,
                 drop_last=config.loader.drop_last, seed=config.agent.seed,
+                native_prefetch=native,
             )
             self.valid_loader = PrefetchLoader(
                 valid_set, config.loader.batch_size, depth=depth,
-                drop_last=config.loader.drop_last,
+                drop_last=config.loader.drop_last, native_prefetch=native,
             )
             self.train_iterations = len(self.train_loader)
             self.valid_iterations = len(self.valid_loader)
@@ -251,7 +330,7 @@ class WaymoDataset_Loader:
             test_set = WaymoDataset("test", config)
             self.valid_loader = PrefetchLoader(
                 test_set, config.loader.batch_size, depth=depth,
-                drop_last=config.loader.drop_last,
+                drop_last=config.loader.drop_last, native_prefetch=native,
             )
             self.valid_iterations = len(self.valid_loader)
         else:

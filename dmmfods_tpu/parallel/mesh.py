@@ -121,6 +121,24 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_mixed_batch(batch, mesh: Mesh):
+    """Raw-record batches mix image tensors with point/box buffers: 4-D
+    image-like leaves take the full ``(data, spatial)`` spec, everything
+    else (padded points, box tables, valid counts) is sharded on the batch
+    axis alone — a spatial axis must never split a point buffer's N dim.
+    Identical to :func:`shard_batch` for all-dense batches."""
+    img_sharding = batch_sharding(mesh)
+    data_only = NamedSharding(
+        mesh, P("data" if "data" in mesh.shape else None)
+    )
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, img_sharding if getattr(x, "ndim", 0) == 4 else data_only
+        ),
+        batch,
+    )
+
+
 def shard_host_local_batch(batch, mesh: Mesh):
     """Multi-host input path: each host supplies its *local* slice of the
     global batch and the pieces are stitched into one global sharded array

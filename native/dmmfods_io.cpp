@@ -201,6 +201,122 @@ int dmm_load_batch_f32(const char* path, float* img, float* lidar, float* ht,
 }
 
 // ---------------------------------------------------------------------------
+// LiDAR point splat -> pooled model input (host-runtime preprocessing).
+//
+// Exact C++ twin of ops/preprocess.py::lidar_points_to_model_input_pooled
+// (itself the direct-to-pooled equivalent of the reference splat+bin+pool,
+// reference dmmfods/utils/Dense_U_Net_lidar_helper.py:446-515). Rationale:
+// random scatter-min is the one preprocessing op TPUs are bad at — measured
+// ~45 ms per 32x32k-point batch in-graph (XLA scatter serializes; a 2-key
+// sort formulation measured 175 ms) — while a host core does the same
+// entries in ~2 ms. So the splat runs here, inside the GIL-free prefetch
+// threads, overlapped with device compute; heat-map rasterization (box-
+// structured, no scatter) stays in-graph on device.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline float bin_lidar_range(float x) {
+  // reference helper.py:446-478 semantics (see ops/preprocess.py):
+  // clip >75 to 75, then 155 close bins / 100 far bins.
+  if (x > 75.0f) x = 75.0f;
+  if (x == -1.0f) x = 76.0f;  // empty marker (not produced on this path)
+  return x <= 25.0f ? x * -6.2f + 255.0f : x * -2.0f + 150.0f;
+}
+
+// One sample: points (n x 3 rows [x, y, distance]) -> out (height/10 rows x
+// width/10 cols), matching lidar_points_to_model_input_pooled exactly:
+// nearest-point (min distance) 5x5-footprint splat onto the (20,10)/s10
+// pooled grid, binned, bottom row replicate-padded, negatives clamped to 0.
+void splat_pooled_one(const float* pts, int64_t n, int64_t height,
+                      int64_t width, float* out, float* cell_scratch) {
+  const int64_t ch = height / 10;   // 10x10 cell rows (non-overlapping)
+  const int64_t cw = width / 10;
+  const float inf = __builtin_huge_valf();
+  float* cells = cell_scratch;      // (ch * cw) min-distance grid
+  for (int64_t i = 0; i < ch * cw; ++i) cells[i] = inf;
+
+  for (int64_t i = 0; i < n; ++i) {
+    const float x = pts[i * 3 + 0];
+    const float y = pts[i * 3 + 1];
+    const float d = pts[i * 3 + 2];
+    if (!(x > -1e9f && x < 1e9f && y > -1e9f && y < 1e9f)) continue;
+    const int64_t px = (int64_t)x;  // trunc toward zero, as the jnp path
+    const int64_t py = (int64_t)y;
+    // clipped 5x5 footprint (the splat never writes the last row/col:
+    // reference helper.py:507-511 slice clamps)
+    const int64_t ylo = py - 2 > 0 ? py - 2 : 0;
+    const int64_t yhi = py + 2 < height - 2 ? py + 2 : height - 2;
+    const int64_t xlo = px - 2 > 0 ? px - 2 : 0;
+    const int64_t xhi = px + 2 < width - 2 ? px + 2 : width - 2;
+    if (ylo > yhi || xlo > xhi) continue;
+    for (int64_t r = ylo / 10; r <= yhi / 10; ++r)
+      for (int64_t c = xlo / 10; c <= xhi / 10; ++c) {
+        float& cell = cells[r * cw + c];
+        if (d < cell) cell = d;
+      }
+  }
+
+  // (20,10)-window min = min of two adjacent 10x10 cell rows; bin; clamp.
+  for (int64_t r = 0; r < ch - 1; ++r) {
+    const float* a = cells + r * cw;
+    const float* b = cells + (r + 1) * cw;
+    float* o = out + r * cw;
+    for (int64_t c = 0; c < cw; ++c) {
+      const float m = a[c] < b[c] ? a[c] : b[c];
+      const float v = m == inf ? -2.0f : bin_lidar_range(m);
+      o[c] = v < 0.0f ? 0.0f : v;
+    }
+  }
+  // bottom replicate pad (reference helper.py:480-485)
+  memcpy(out + (ch - 1) * cw, out + (ch - 2) * cw, cw * sizeof(float));
+}
+
+}  // namespace
+
+// Single sample. out must hold (height/10) * (width/10) floats.
+int dmm_splat_pooled_f32(const float* points, int64_t n, int64_t height,
+                         int64_t width, float* out) {
+  if (height < 30 || width < 20 || height % 10 || width % 10) return 1;
+  std::vector<float> scratch((height / 10) * (width / 10));
+  splat_pooled_one(points, n, height, width, out, scratch.data());
+  return 0;
+}
+
+// Batched ragged points: sample i owns rows [offsets[i], offsets[i+1]) of
+// points_concat. out holds batch * (height/10) * (width/10) floats. Splits
+// samples across num_threads worker threads; one C call covers the whole
+// batch so Python's GIL is released for all of it.
+int dmm_splat_pooled_batch_f32(const float* points_concat,
+                               const int64_t* offsets, int64_t batch,
+                               int64_t height, int64_t width, float* out,
+                               int64_t num_threads) {
+  if (height < 30 || width < 20 || height % 10 || width % 10) return 1;
+  const int64_t plane = (height / 10) * (width / 10);
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > batch) num_threads = batch;
+  std::atomic<int64_t> next{0};
+  auto work = [&] {
+    std::vector<float> scratch(plane);
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= batch) return;
+      splat_pooled_one(points_concat + offsets[i] * 3,
+                       offsets[i + 1] - offsets[i], height, width,
+                       out + i * plane, scratch.data());
+    }
+  };
+  if (num_threads == 1) {
+    work();
+  } else {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < num_threads; ++t) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // Threaded read-ahead prefetcher: N reader threads decode batch files into a
 // bounded queue; the consumer pops ready NHWC buffers. GIL-free.
 // ---------------------------------------------------------------------------

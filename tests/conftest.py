@@ -27,6 +27,7 @@ _SLOW_MODULES = {
     "test_model", "test_trainer_agent", "test_device_preprocess",
     "test_serving", "test_fused", "test_pallas_dense_block", "test_detector",
     "test_reference_parity", "test_detection_agent",
+    "test_converter_walk",  # tensorflow import dominates
 }
 
 

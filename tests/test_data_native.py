@@ -254,3 +254,112 @@ def test_batch_serializer_round_trip(tmp_path):
     assert img.shape == (4, h, w, 3)
     assert lidar.shape == (4, h, w, 1)
     assert ht.shape == (4, h, w, 3)
+
+
+def test_host_splat_parity_native_and_numpy():
+    """C++ + numpy host splats match the jax direct-to-pooled pipeline
+    (ops/preprocess.py::lidar_points_to_model_input_pooled) exactly —
+    including out-of-frame points, footprint edge clamps, and empty samples."""
+    from dmmfods_tpu.data import host_preprocess, native_io
+    from dmmfods_tpu.ops import preprocess as pp
+
+    h, w = 160, 120
+    rng = np.random.default_rng(7)
+    counts = [500, 0, 37]
+    pts = []
+    for n in counts:
+        p = np.stack([
+            rng.uniform(-15, w + 15, n),     # x incl. out-of-frame
+            rng.uniform(-15, h + 15, n),
+            rng.uniform(0.5, 90, n),         # distances incl. >75 clip
+        ], axis=-1).astype(np.float32)
+        pts.append(p)
+    concat = np.concatenate(pts, axis=0)
+    offsets = np.cumsum([0] + counts)
+
+    expected = []
+    for p in pts:
+        pad = np.zeros((600, 3), np.float32)
+        pad[:len(p)] = p
+        expected.append(np.asarray(
+            pp.lidar_points_to_model_input_pooled(pad, len(p), h, w)))
+    expected = np.stack(expected)
+
+    got_np = host_preprocess._splat_pooled_batch_numpy(concat, offsets, h, w)
+    np.testing.assert_allclose(got_np, expected, atol=1e-5)
+
+    if native_io.available():
+        got_c = native_io.splat_pooled_batch(concat, offsets, h, w, num_threads=2)
+        np.testing.assert_array_equal(got_c, got_np)
+        one = native_io.splat_pooled(pts[0], h, w)
+        np.testing.assert_array_equal(one, got_c[0])
+
+
+def test_raw_batch_serializer_round_trip(tmp_path):
+    """converter.save_raw_data_in_batch output loads through WaymoDataset in
+    both splat modes; the host-splat lidar equals the jax pooled pipeline."""
+    import copy
+    import pickle
+
+    from dmmfods_tpu.data.converter import save_raw_data_in_batch
+    from dmmfods_tpu.ops import preprocess as pp
+
+    cfg = get_config(str(tmp_path))
+    root = Path(cfg.dir.data.root)
+    rng = np.random.default_rng(3)
+    h, w = 16, 24
+    full_h, full_w = h * 10, w * 10
+    cfg.dataset.images.size = (3, w, h)
+    cfg.dataset.images["original.size"] = (3, full_w, full_h)
+    cfg.dataset.batch_size = 4
+    tfdir = root / "bucket0" / "tf_0"
+    for sub in ("images", "points", "labels"):
+        (tfdir / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(8):
+        stem = f"img_0_0_{i}_0"
+        np.save(tfdir / "images" / (stem + ".npy"),
+                rng.random((h, w, 3)).astype(np.float32))
+        n = int(rng.integers(10, 200))
+        pts = np.stack([
+            rng.uniform(0, full_w, n), rng.uniform(0, full_h, n),
+            rng.uniform(0.5, 80, n),
+        ], axis=-1).astype(np.float32)
+        np.savez(tfdir / "points" / ("points_" + stem + ".npz"), pts)
+        with open(tfdir / "labels" / ("labels_" + stem), "wb") as fh:
+            pickle.dump({"0": {"type": 1, "x": 8, "y": 12, "width": 30, "height": 40}}, fh)
+
+    n_batches = save_raw_data_in_batch(cfg, "bucket0", "train")
+    assert n_batches == 2
+
+    # host-splat mode (default): batch is (image, lidar, boxes)
+    ds = WaymoDataset("train", cfg)
+    assert len(ds) == 2
+    img, lidar, boxes = ds[0]
+    assert img.shape == (4, h, w, 3)
+    assert lidar.shape == (4, h, w, 1)
+    assert boxes.shape == (4, 64, 5)
+    assert boxes.dtype == np.int32
+    assert (boxes[:, 0, 0] == 1).all()
+
+    # lidar matches the jax pooled pipeline for the stored points
+    with np.load(root / ds.files[0]) as z:
+        pts_c, offs = z["points"], z["offsets"]
+    pad = np.zeros((256, 3), np.float32)
+    nv = offs[1] - offs[0]
+    pad[:nv] = pts_c[offs[0]:offs[1]]
+    expected = np.asarray(
+        pp.lidar_points_to_model_input_pooled(pad, nv, full_h, full_w))
+    np.testing.assert_allclose(lidar[0], expected, atol=1e-5)
+
+    # device-splat mode: batch is (image, points, num_valid, boxes)
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.tpu.splat = "device"
+    cfg2.tpu.max_points = 256
+    ds2 = WaymoDataset("train", cfg2)
+    img2, points, num_valid, boxes2 = ds2[0]
+    assert points.shape == (4, 256, 3)
+    assert num_valid.shape == (4,)
+    assert (num_valid > 0).all()
+    np.testing.assert_array_equal(img2, img)
+    np.testing.assert_array_equal(boxes2, boxes)
+    np.testing.assert_array_equal(points[0, :num_valid[0]], pts_c[offs[0]:offs[1]])

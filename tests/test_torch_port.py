@@ -201,3 +201,42 @@ def test_imported_encoder_matches_torch_numerically():
     }
     ours = np.asarray(mod.apply(variables, xj)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("arch", ["densenet121", "densenet161", "densenet169", "densenet201"])
+def test_hub_checkpoint_key_inventory_fully_mapped(arch):
+    """Every key in the real torchvision hub checkpoints (vendored inventory,
+    legacy 'norm.1' naming as served by load_state_dict_from_url — the exact
+    input of reference _load_state_dict, model:269-309) is either mapped by
+    normalize_torch_keys + _encoder_path or is a documented skip
+    (classifier / final norm5, which this architecture discards)."""
+    from pathlib import Path
+
+    keys = Path(__file__).with_name("fixtures").joinpath(
+        f"{arch}_hub_keys.txt").read_text().split()
+    assert len(keys) > 600 or arch == "densenet121"
+
+    normalized = torch_port.normalize_torch_keys({k: np.zeros(1) for k in keys})
+    # the legacy rewrite removed every '.N.' segment inside denselayers
+    assert not any(".1." in k or ".2." in k
+                   for k in normalized if "denselayer" in k)
+
+    unmapped = []
+    for key in normalized:
+        if key.startswith(("classifier", "features.norm5")):
+            continue
+        mapped = torch_port._encoder_path(key, stream2=False)
+        if mapped is None:
+            unmapped.append(key)
+            continue
+        flax_path, attr, kind = mapped
+        # every mapped tensor routes to a real slot kind
+        assert kind in ("conv", "bn")
+        assert attr in ("weight", "bias", "running_mean", "running_var")
+    assert unmapped == []
+
+    # and the stream-2 mirror accepts the same inventory minus conv0
+    for key in normalized:
+        if key.startswith(("classifier", "features.norm5")):
+            continue
+        assert torch_port._encoder_path("stream_2_" + key, stream2=True) is not None

@@ -198,3 +198,74 @@ def test_focal_loss_training(tiny_setup):
     state_f = trainer_lib.create_train_state(bundle, tx)
     _, mf = step(state_f, img, lidar, ht)
     assert abs(float(mb["loss"]) - float(mf["loss"])) > 1.0
+
+
+def test_train_step_ht_matches_dense(tiny_setup):
+    """Host-splat raw step (in-graph heat-map rasterization) produces the
+    exact same loss as the dense step fed the pre-rasterized maps."""
+    from dmmfods_tpu.data.synthetic import make_raw_batch
+    from dmmfods_tpu.ops import preprocess as pp
+
+    cfg, bundle, tx, _ = tiny_setup
+    img, lidar, boxes = make_raw_batch(batch_size=2, h=32, w=64, seed=11)
+    ht = np.stack([
+        np.asarray(pp.rasterize_heatmaps_direct(b, 32, 64, 10)) for b in boxes
+    ])
+
+    state_a = trainer_lib.create_train_state(bundle, tx)
+    step_ht = trainer_lib.make_train_step_ht(
+        bundle.module, tx, cfg, donate=False, full_height=320, full_width=640)
+    _, m_ht = step_ht(state_a, img, lidar, boxes)
+
+    state_b = trainer_lib.create_train_state(bundle, tx)
+    step_dense = trainer_lib.make_train_step(bundle.module, tx, cfg, donate=False)
+    _, m_dense = step_dense(state_b, img, lidar, ht)
+
+    np.testing.assert_allclose(float(m_ht["loss"]), float(m_dense["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m_ht["iou_per_class"]), np.asarray(m_dense["iou_per_class"]),
+        rtol=1e-6)
+
+
+@pytest.mark.parametrize("splat", ["host", "device"])
+def test_agent_raw_mode(tmp_path, splat):
+    """Agent e2e on raw records for both tpu.splat settings: the loader
+    yields raw tuples, the matching step trains to a finite loss, and
+    validation reports the reference metric taxonomy."""
+    import copy
+
+    from dmmfods_tpu.agents.dense_unet_agent import Dense_U_Net_lidar_Agent
+    from dmmfods_tpu.config import get_config
+    from dmmfods_tpu.data.synthetic import SyntheticRawDataset
+    from dmmfods_tpu.data.waymo import PrefetchLoader
+
+    base = get_config(str(tmp_path))
+    base.tpu.compute_dtype = "float32"
+    base.model.growth_rate = 8
+    base.model.block_config = (2, 2, 2, 2)
+    base.model.num_init_features = 16
+    base.agent.max_epoch = 1
+    base.dataset.images.size = (3, 64, 32)
+    base.dataset.images["original.size"] = (3, 640, 320)
+    base.tpu.mesh.data = 2
+    base.tpu.device_preprocess = True
+    base.tpu.max_points = 512
+
+    cfg = copy.deepcopy(base)
+    cfg.tpu.splat = splat
+
+    class Loader:
+        def __init__(self):
+            ds = SyntheticRawDataset(num_batches=2, batch_size=2, h=32,
+                                     w=64, splat=splat, max_points=512)
+            self.train_loader = PrefetchLoader(ds)
+            self.valid_loader = PrefetchLoader(ds)
+            self.train_iterations = len(ds)
+            self.valid_iterations = len(ds)
+
+    agent = Dense_U_Net_lidar_Agent(cfg, torchvision_init=False,
+                                    data_loader=Loader())
+    agent.run()
+    assert agent.current_train_iteration == 2
+    assert agent.current_val_iteration == 2
+    agent.finalize()
