@@ -142,11 +142,30 @@ def bench_train_dp(steps=6, mode="host"):
             bundle.module, tx, cfg, mesh=mesh, donate=False)
         batch = mesh_lib.shard_mixed_batch((image, lidar, boxes), mesh)
 
-    def run(s, *args):
-        new_state, m = step(s, *args)
-        return m["loss"]
+    # sustained device step time: K steps inside ONE dispatch (lax.scan
+    # threading the train state). Per-call timing on a tunneled chip pays a
+    # ~30 ms host round trip per step plus param-buffer-handle churn; the
+    # pipelined training loop doesn't, and the scan measures what the
+    # device actually does.
+    import jax.numpy as jnp
+    from jax import lax
 
-    med = _time_fn(lambda *a: run(state, *batch), (), steps)
+    K = 10
+
+    def body(s, _):
+        new_state, m = step(s, *batch)
+        return new_state, m["loss"]
+
+    @jax.jit
+    def many(s):
+        return lax.scan(body, s, jnp.arange(K))
+
+    _, losses = many(state)
+    np.asarray(losses)
+    t0 = _time.perf_counter()
+    _, losses = many(state)
+    np.asarray(losses)
+    med = (_time.perf_counter() - t0) / K
     return {
         "config": f"5_train_dp_raw_records_splat_{mode}",
         "resolution": "128x192 (heat maps rasterized in-graph from boxes)",

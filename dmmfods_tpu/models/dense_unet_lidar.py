@@ -66,7 +66,15 @@ class ModelSpec:
     dtype: Any = jnp.float32
     remat: bool = False
     use_fused_kernels: bool = False
-    dense_block_impl: str = "concat"  # 'concat' | 'buffer' (see DenseBlock)
+    # 'concat' | 'buffer' | 'pallas' (see DenseBlock), or a comma-separated
+    # per-block list like "concat,concat,buffer,buffer" (profiling on v5e
+    # shows XLA lowers the early blocks' concats to in-place updates on its
+    # own but leaves the late blocks' as full concatenates)
+    dense_block_impl: str = "concat"
+
+    def impl_for_block(self, i: int) -> str:
+        impls = self.dense_block_impl.split(",")
+        return impls[i].strip() if i < len(impls) else impls[-1].strip()
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -359,7 +367,7 @@ class Encoder(nn.Module):
                 drop_rate=spec.drop_rate,
                 dtype=spec.dtype,
                 remat=spec.remat,
-                impl=spec.dense_block_impl,
+                impl=spec.impl_for_block(i),
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -476,36 +484,74 @@ class DecoderStage(nn.Module):
 
 
 class Head(nn.Module):
-    """Final refinement to heat-map logits: BN-ReLU-Conv3x3-BN-ReLU-Conv5x5
-    over the concat of decoder output and raw network input
-    (reference ``dec_out_to_heat_maps`` model:123-132).
+    """Final refinement to heat-map logits: 2x nearest upsample, concat with
+    the raw network input, then BN-ReLU-Conv3x3-BN-ReLU-Conv5x5
+    (reference ``Upsample`` model:120 + ``dec_out_to_heat_maps``
+    model:123-132; the upsample/concat moved in here so the fused fast path
+    can own them).
 
-    NOTE(perf): a fused upsample+refine0 phase-collapse (computing the
-    up-channel contribution at low resolution; exact, 44% of the tap
-    matmuls) was implemented and measured SLOWER end-to-end on v5e
-    (5396 vs 5815 frames/s at batch 256) — the 4 phase convs + interleave
-    cost more than the saved broadcast. XLA's plain conv over the
-    materialized upsample wins; keep the straightforward formulation.
+    Fast path (``use_fused``, inference): the ENTIRE head runs at low
+    resolution in phase space (``ops/fused.py::phase_space_head``): the
+    upsample broadcast (2.0 GB HBM at b256), the 132-channel concat and the
+    half-lane-idle refine0 collapse into one (2, 2) shift-and-share conv
+    with phase-stacked output channels; refine1's 5x5 taps become a (3, 3)
+    block-space conv; only the 12-channel logits expand to full resolution.
+    (A Pallas version that re-interleaved refine0's output to NHWC in VMEM
+    was measured SLOWER than the naive graph — the interleave is
+    sublane-shuffle-bound — and removed; numbers in BASELINE.md.)
     """
 
     mid_features: int
     num_classes: int
     dtype: Any
+    use_fused: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Conv(
+    def __call__(self, x_lo, raw, train: bool):
+        norm0 = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)
+        refine0 = nn.Conv(
             self.mid_features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=_CONV_INIT, name="refine0", dtype=self.dtype,
-        )(x)
-        x = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
-        x = nn.relu(x)
-        return nn.Conv(
+        )
+        norm1 = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)
+        refine1 = nn.Conv(
             self.num_classes, (5, 5), padding=((2, 2), (2, 2)), use_bias=False,
             kernel_init=_CONV_INIT, name="refine1", dtype=self.dtype,
-        )(x)
+        )
+
+        if self._fused_eligible(x_lo, raw, train):
+            from ..ops.fused import phase_space_head
+
+            params = self.variables["params"]
+            stats = self.variables["batch_stats"]
+            return phase_space_head(
+                x_lo.astype(self.dtype), raw.astype(self.dtype),
+                norm0=params["norm0"], norm0_stats=stats["norm0"],
+                refine0_kernel=params["refine0"]["kernel"],
+                norm1=params["norm1"], norm1_stats=stats["norm1"],
+                refine1_kernel=params["refine1"]["kernel"],
+                eps=_BN_EPS,
+            )
+
+        x = _nearest_upsample_2x(x_lo)
+        x = jnp.concatenate([x, raw], axis=-1)
+        x = norm0(x)
+        x = nn.relu(x)
+        x = refine0(x)
+        x = norm1(x)
+        x = nn.relu(x)
+        return refine1(x)
+
+    def _fused_eligible(self, x_lo, raw, train) -> bool:
+        if not self.use_fused or train or self.is_initializing():
+            return False
+        stats = self.variables.get("batch_stats", {})
+        if "norm0" not in stats or "norm1" not in stats:
+            return False
+        return (
+            raw.shape[1] == 2 * x_lo.shape[1]
+            and raw.shape[2] == 2 * x_lo.shape[2]
+        )
 
 
 
@@ -566,11 +612,12 @@ class DenseUNetLidar(nn.Module):
             x = DecoderStage(feats, dt, name=f"up{i + 1}")(x, shapes.pop(), train)
         assert not skips and not shapes
 
-        x = _nearest_upsample_2x(x)  # reference model:120
-        # head over concat with the raw input (reference model:264-265)
-        x = jnp.concatenate([x, raw_skip], axis=-1)
+        # 2x upsample (reference model:120) + head over the concat with the
+        # raw input (model:264-265) — both live inside Head so its fused
+        # fast path can eliminate the intermediate materializations
         return Head(stage_features[-1] // 2, spec.num_classes, dt,
-                    name="dec_out_to_heat_maps")(x, train)
+                    use_fused=spec.use_fused_kernels,
+                    name="dec_out_to_heat_maps")(x, raw_skip, train)
 
     def _encode_with_fusion(self, enc_in, s2, train):
         """Main-stream encoder with the mid-fusion concat inserted right after
@@ -590,7 +637,7 @@ class DenseUNetLidar(nn.Module):
                 drop_rate=spec.drop_rate,
                 dtype=spec.dtype,
                 remat=spec.remat,
-                impl=spec.dense_block_impl,
+                impl=spec.impl_for_block(i),
                 name=f"features_denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate

@@ -85,6 +85,174 @@ def concat_bn_relu_conv1x1(a, b, *, scale, bias, mean, var, kernel, eps=1e-5,
 
 
 # ---------------------------------------------------------------------------
+# Phase-space head (XLA): upsample + concat + BN + ReLU + refine0 + BN +
+# ReLU + refine1 computed entirely at LOW resolution
+# ---------------------------------------------------------------------------
+#
+# A 3x3 conv over a nearest-2x-upsampled input only ever reads a 2x2 window
+# of SOURCE pixels per output pixel, with phase-dependent collapsed weights;
+# and the four phases' windows are shifted copies of one window, so a single
+# (2, 2, C, 4*c_mid) conv over the zero-padded source grid produces all four
+# phase outputs ("shift-and-share"). The raw full-res skip joins the same
+# conv after a space-to-depth. refine1's 5x5 full-res taps likewise become a
+# (3, 3, 4*c_mid, 4*classes) conv in phase space. Only the final
+# 12-channel logits get depth-to-space'd back to full resolution (38 MB at
+# b256 — vs the 2.0 GB upsample broadcast + 1.3 ms concat + full-lane-idle
+# refine0 the naive graph pays, 16.2 ms of the 44 ms step).
+#
+# Measured v5e b256: head front 12.2 ms -> see BASELINE.md. A Pallas kernel
+# version of the same identity (since removed; numbers in BASELINE.md)
+# computed the matmul fine but lost everything re-interleaving to NHWC
+# inside VMEM (sublane shuffles): 43.7-56 ms end-to-end vs 40.7 unfused —
+# this all-XLA phase-space formulation instead avoids materializing ANY
+# full-res intermediate at all.
+
+
+def space_to_depth_2x(x):
+    """``(B, H, W, C) -> (B, H/2, W/2, 4C)``, channel order ``(pu, pv, c)``."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space_2x(x):
+    """``(B, H/2, W/2, 4C) -> (B, H, W, C)``, inverse of space_to_depth_2x."""
+    b, hh, hw, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, hh, hw, 2, 2, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(b, 2 * hh, 2 * hw, c)
+
+
+# which original 3x3 taps dy collapse onto shifted-window row r for phase u
+_COLLAPSE = {
+    (0, 0): (-1,), (0, 1): (0, 1), (1, 0): (-1, 0), (1, 1): (1,),
+}
+
+
+def fold_phase_head_weights(w0, w1, c_up, raw_ch):
+    """Collapse refine0/refine1 kernels into their phase-space equivalents.
+
+    Args:
+      w0: ``(3, 3, c_up + raw_ch, c_mid)`` refine0 HWIO kernel.
+      w1: ``(5, 5, c_mid, n_cls)`` refine1 HWIO kernel.
+    Returns:
+      w0p: ``(2, 2, c_up + 4*raw_ch, 4*c_mid)`` — window conv over the
+        padded source grid; input channels ``[up | s2d raw]``, output
+        channels stack phases ``2u+v``.
+      w1p: ``(3, 3, 4*c_mid, 4*n_cls)`` — block-space conv over the
+        phase-stacked refine0 output.
+    """
+    w0 = jnp.asarray(w0, jnp.float32)
+    w1 = jnp.asarray(w1, jnp.float32)
+    c_mid = w0.shape[-1]
+    n_cls = w1.shape[-1]
+    w_up = w0[:, :, :c_up, :]
+    w_raw = w0[:, :, c_up:, :]
+
+    w0p = jnp.zeros((2, 2, c_up + 4 * raw_ch, 4, c_mid), jnp.float32)
+    for u in (0, 1):
+        for v in (0, 1):
+            p = 2 * u + v
+            for r in (0, 1):
+                for s in (0, 1):
+                    acc = jnp.zeros((c_up, c_mid), jnp.float32)
+                    for dy in _COLLAPSE[(u, r)]:
+                        for dx in _COLLAPSE[(v, s)]:
+                            acc = acc + w_up[dy + 1, dx + 1]
+                    w0p = w0p.at[r, s, :c_up, p, :].set(acc)
+                    for pu in (0, 1):
+                        dy = 2 * r + pu - 2 + u
+                        if not -1 <= dy <= 1:
+                            continue
+                        for pv in (0, 1):
+                            dx = 2 * s + pv - 2 + v
+                            if not -1 <= dx <= 1:
+                                continue
+                            ch = c_up + (2 * pu + pv) * raw_ch
+                            w0p = w0p.at[r, s, ch:ch + raw_ch, p, :].set(
+                                w_raw[dy + 1, dx + 1]
+                            )
+    w0p = w0p.reshape(2, 2, c_up + 4 * raw_ch, 4 * c_mid)
+
+    w1p = jnp.zeros((3, 3, 4, c_mid, 4, n_cls), jnp.float32)
+    for up in (0, 1):  # output phase row
+        for br in (-1, 0, 1):
+            for pu in (0, 1):
+                dy = 2 * br + pu - up
+                if not -2 <= dy <= 2:
+                    continue
+                for vp in (0, 1):
+                    for bs in (-1, 0, 1):
+                        for pv in (0, 1):
+                            dx = 2 * bs + pv - vp
+                            if not -2 <= dx <= 2:
+                                continue
+                            w1p = w1p.at[
+                                br + 1, bs + 1, 2 * pu + pv, :, 2 * up + vp, :
+                            ].set(w1[dy + 2, dx + 2])
+    w1p = w1p.reshape(3, 3, 4 * c_mid, 4 * n_cls)
+    return w0p, w1p
+
+
+def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
+                     norm1, norm1_stats, refine1_kernel, eps=1e-5):
+    """The whole head at low resolution (see block comment above).
+
+    Args:
+      x_lo: ``(B, H/2, W/2, c_up)`` decoder output (pre-upsample).
+      raw: ``(B, H, W, raw_ch)`` raw input skip.
+      norm0/norm1: dicts with ``scale``/``bias``; *_stats with ``mean``/``var``.
+    Returns ``(B, H, W, n_cls)`` logits — numerically the plain head's output
+    (weight collapse sums in f32).
+    """
+    dt = x_lo.dtype
+    c_up = x_lo.shape[-1]
+    raw_ch = raw.shape[-1]
+    c_mid = refine0_kernel.shape[-1]
+    n_cls = refine1_kernel.shape[-1]
+
+    g0, b0 = _fold_bn(norm0["scale"], norm0["bias"],
+                      norm0_stats["mean"], norm0_stats["var"], eps)
+    g1, b1 = _fold_bn(norm1["scale"], norm1["bias"],
+                      norm1_stats["mean"], norm1_stats["var"], eps)
+    w0p, w1p = fold_phase_head_weights(refine0_kernel, refine1_kernel,
+                                       c_up, raw_ch)
+
+    # BN0 + ReLU: up stream at low res (upsample commutes), raw at full res
+    a = jnp.maximum(x_lo.astype(jnp.float32) * g0[:c_up] + b0[:c_up], 0.0)
+    rn = jnp.maximum(raw.astype(jnp.float32) * g0[c_up:] + b0[c_up:], 0.0)
+    src = jnp.concatenate([a.astype(dt), space_to_depth_2x(rn.astype(dt))],
+                          axis=-1)                     # (B, hh, hw, c_up+4raw)
+
+    # refine0 in phase space: window grid P[i', j'] reads source blocks
+    # {i'-1, i'} x {j'-1, j'}  ->  pad (1, 1) and a (2, 2) conv
+    P = jax.lax.conv_general_dilated(
+        src, w0p.astype(dt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )                                                  # (B, hh+1, hw+1, 4c_mid)
+
+    # phase (u, v) of refine0's output = P shifted by (u, v); BN1 + ReLU
+    # applies per real channel -> tile over the 4 phase blocks
+    hh, hw = x_lo.shape[1], x_lo.shape[2]
+    pieces = [
+        P[:, u:u + hh, v:v + hw, (2 * u + v) * c_mid:(2 * u + v + 1) * c_mid]
+        for u in (0, 1) for v in (0, 1)
+    ]
+    h0 = jnp.concatenate(pieces, axis=-1)              # (B, hh, hw, 4c_mid)
+    h1 = jnp.maximum(
+        h0.astype(jnp.float32) * jnp.tile(g1, 4) + jnp.tile(b1, 4), 0.0
+    ).astype(dt)
+
+    # refine1 in phase space, then expand only the tiny logits tensor
+    out12 = jax.lax.conv_general_dilated(
+        h1, w1p.astype(dt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )                                                  # (B, hh, hw, 4n_cls)
+    # depth_to_space expects (pu, pv, c) channel order == (u, v, o) here
+    return depth_to_space_2x(out12)
+
+
+# ---------------------------------------------------------------------------
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 

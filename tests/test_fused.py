@@ -54,3 +54,44 @@ def test_fused_model_path_matches_unfused():
     m2 = DenseUNetLidar(spec_fused)
     out2 = np.asarray(m2.apply(variables, rgb, lidar, False))
     np.testing.assert_allclose(out1, out2, atol=2e-4)
+
+
+def test_phase_space_head_matches_naive():
+    """The low-resolution phase-space head (upsample + concat + BN + ReLU +
+    refine0 + BN + ReLU + refine1 without any full-res intermediate) equals
+    the straightforward pipeline."""
+    from dmmfods_tpu.ops import fused
+
+    rng = np.random.default_rng(1)
+    B, hh, hw, c_up, raw_ch, c_mid, n_cls = 2, 8, 12, 32, 4, 16, 3
+    x_lo = jnp.asarray(rng.normal(size=(B, hh, hw, c_up)), jnp.float32)
+    raw = jnp.asarray(rng.normal(size=(B, 2 * hh, 2 * hw, raw_ch)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(3, 3, c_up + raw_ch, c_mid)) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(5, 5, c_mid, n_cls)) * 0.1, jnp.float32)
+
+    def bn(c):
+        return (
+            {"scale": jnp.asarray(rng.normal(size=c), jnp.float32),
+             "bias": jnp.asarray(rng.normal(size=c), jnp.float32)},
+            {"mean": jnp.asarray(rng.normal(size=c), jnp.float32),
+             "var": jnp.asarray(np.abs(rng.normal(size=c)) + 0.5, jnp.float32)},
+        )
+
+    n0, s0 = bn(c_up + raw_ch)
+    n1, s1 = bn(c_mid)
+
+    up = jnp.repeat(jnp.repeat(x_lo, 2, axis=1), 2, axis=2)
+    cat = jnp.concatenate([up, raw], axis=-1)
+    g0 = n0["scale"] * jax.lax.rsqrt(s0["var"] + 1e-5)
+    act = jnp.maximum(cat * g0 + (n0["bias"] - s0["mean"] * g0), 0.0)
+    h = jax.lax.conv_general_dilated(act, w0, (1, 1), ((1, 1), (1, 1)),
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    g1 = n1["scale"] * jax.lax.rsqrt(s1["var"] + 1e-5)
+    h = jnp.maximum(h * g1 + (n1["bias"] - s1["mean"] * g1), 0.0)
+    ref = jax.lax.conv_general_dilated(h, w1, (1, 1), ((2, 2), (2, 2)),
+                                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    out = fused.phase_space_head(
+        x_lo, raw, norm0=n0, norm0_stats=s0, refine0_kernel=w0,
+        norm1=n1, norm1_stats=s1, refine1_kernel=w1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
