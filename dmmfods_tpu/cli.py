@@ -51,22 +51,30 @@ def _load_config(args):
     return _apply_overrides(config, args.set)
 
 
-def cmd_train(args):
+def _agent_class(name):
+    if name == "detector":
+        from .agents.detection_baseline import DetectionAgent
+
+        return DetectionAgent
     from .agents.dense_unet_agent import Dense_U_Net_lidar_Agent
 
+    return Dense_U_Net_lidar_Agent
+
+
+def cmd_train(args):
     config = _load_config(args)
     config.loader.mode = "train"
-    agent = Dense_U_Net_lidar_Agent(config, torchvision_init=args.torchvision_init)
+    agent = _agent_class(args.agent)(
+        config, torchvision_init=args.torchvision_init
+    )
     agent.run()
     agent.finalize()
 
 
 def cmd_eval(args):
-    from .agents.dense_unet_agent import Dense_U_Net_lidar_Agent
-
     config = _load_config(args)
     config.loader.mode = "test"
-    agent = Dense_U_Net_lidar_Agent(config, torchvision_init=False)
+    agent = _agent_class(args.agent)(config, torchvision_init=False)
     agent.run()
     agent.finalize()
 
@@ -161,10 +169,14 @@ def main(argv=None):
     common(p)
     p.add_argument("--torchvision-init", action="store_true",
                    help="bootstrap encoder from config.model.pretrained_path")
+    p.add_argument("--agent", choices=["unet", "detector"], default="unet",
+                   help="unet: heat-map model; detector: CenterNet baseline "
+                        "(trains from raw records)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("eval", help="evaluate with the best checkpoint")
     common(p)
+    p.add_argument("--agent", choices=["unet", "detector"], default="unet")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("convert", help="offline Waymo tfrecord conversion")

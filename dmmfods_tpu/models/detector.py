@@ -137,17 +137,23 @@ def make_center_targets(boxes, out_height, out_width, *, stride=4, num_classes=3
         cy = (box[2] + box[4] / 2.0) / stride
         w4 = box[3] / stride
         h4 = box[4] / stride
+        ci = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, out_height - 1)
+        cj = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, out_width - 1)
         # CenterNet radius heuristic ~ 1/6 of the smaller side
         sigma = jnp.maximum(jnp.minimum(w4, h4) / 6.0, min_sigma)
-        gauss = jnp.exp(-((rows - cy) ** 2 + (cols - cx) ** 2) / (2.0 * sigma ** 2))
+        # the gaussian is drawn around the QUANTIZED center so its peak is
+        # exactly 1.0 there (the focal loss's positive set; fractional
+        # centers would otherwise never produce a positive pixel) — the
+        # offset head regresses the fraction, standard CenterNet
+        gauss = jnp.exp(
+            -((rows - ci.astype(jnp.float32)) ** 2
+              + (cols - cj.astype(jnp.float32)) ** 2) / (2.0 * sigma ** 2)
+        )
         gauss = jnp.where(valid, gauss, 0.0)
         onehot = (
             lax.broadcasted_iota(jnp.int32, (num_classes,), 0) == channel
         ) & valid
         heat = jnp.maximum(heat, gauss[:, :, None] * onehot[None, None, :])
-
-        ci = jnp.clip(jnp.floor(cy).astype(jnp.int32), 0, out_height - 1)
-        cj = jnp.clip(jnp.floor(cx).astype(jnp.int32), 0, out_width - 1)
         at_center = (
             (rows == ci.astype(jnp.float32)) & (cols == cj.astype(jnp.float32)) & valid
         )
