@@ -177,8 +177,79 @@ def bench_train_dp(steps=6, mode="host"):
     }
 
 
+def bench_serving_pipelined(steps=40, request_sizes=(1, 4, 8)):
+    """Config 2 measured properly: small-batch serving through the
+    pipelined ``InferenceEngine`` (AOT-warmed buckets, async submits keep a
+    transfer in flight while the previous batch computes) instead of
+    synchronous per-call timing, which on this tunnel pays a ~30 ms
+    host<->device round trip per request."""
+    import time as _time
+
+    from dmmfods_tpu.serving import InferenceEngine
+
+    bundle, cfg = _build(
+        {"concat_before_block_num": 1, "stream_2_in_channels": 1},
+        128, 192, "bfloat16",
+    )
+    engine = InferenceEngine(bundle, buckets=tuple(request_sizes))
+    engine.warmup()
+    engine.start()
+
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    rows = []
+    try:
+        for b in request_sizes:
+            rgb = rng.normal(0.5, 0.2, (b, 128, 192, 3)).astype(np.float32)
+            lidar = rng.normal(100, 40, (b, 128, 192, 1)).astype(np.float32)
+            # full-system request path: host numpy in, heat maps out —
+            # includes the host<->device link (on this dev tunnel that link
+            # moves small transfers at ~20 MB/s and dominates; a TPU-VM's
+            # PCIe makes it negligible)
+            engine.submit(rgb, lidar).result()
+            t0 = _time.perf_counter()
+            futures = [engine.submit(rgb, lidar) for _ in range(steps)]
+            for f in futures:
+                f.result()
+            dt = _time.perf_counter() - t0
+
+            # chip capability at this bucket: same compiled program driven
+            # back-to-back with device-resident inputs (what the engine
+            # sustains once the link is not the bottleneck)
+            d_rgb = jax.device_put(jnp.asarray(rgb, jnp.bfloat16))
+            d_lidar = jax.device_put(jnp.asarray(lidar, jnp.bfloat16))
+            out = engine._forward(d_rgb, d_lidar)
+            jax.block_until_ready(out)
+            t1 = _time.perf_counter()
+            for _ in range(steps):
+                out = engine._forward(d_rgb, d_lidar)
+            jax.block_until_ready(out)
+            dt_dev = _time.perf_counter() - t1
+
+            rows.append({
+                "request_batch": b,
+                "requests_per_s": round(steps / dt, 1),
+                "frames_per_s": round(steps * b / dt, 1),
+                "mean_request_ms": round(dt / steps * 1000, 2),
+                "device_frames_per_s": round(steps * b / dt_dev, 1),
+                "device_step_ms": round(dt_dev / steps * 1000, 2),
+            })
+    finally:
+        engine.stop()
+    return {
+        "config": "2p_early_fusion_serving_pipelined",
+        "resolution": "128x192",
+        "requests": steps,
+        "per_batch": rows,
+        "params": bundle.num_params,
+    }
+
+
 CONFIGS = {
     "1": lambda steps: _run_cpu_config1(steps),
+    "2p": lambda steps: bench_serving_pipelined(max(steps, 40)),
     "2": lambda steps: bench_inference(
         "2_early_fusion_b4",
         {"concat_before_block_num": 1, "stream_2_in_channels": 1},

@@ -170,6 +170,12 @@ class Dense_U_Net_lidar_Agent:
             batch_stats=restored[keys.state_dict]["batch_stats"],
             opt_state=restored[keys.optimizer],
         )
+        if self.mesh is not None:
+            # orbax restores to default single-device placement; the steps
+            # expect mesh-replicated state alongside mesh-sharded batches
+            self.state = jax.device_put(
+                self.state, mesh_lib.replicated(self.mesh)
+            )
         self.logger.info(
             "Checkpoint loaded successfully from %s at (epoch %d) at (iteration %d)",
             self.config.dir.current_run.checkpoints,

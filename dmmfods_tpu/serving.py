@@ -57,7 +57,14 @@ class InferenceEngine:
 
         decode_flag = decode
 
-        def forward(variables, rgb, lidar):
+        # variables are CLOSED OVER, not passed: a jit-captured pytree is
+        # baked into the executable, so per-request dispatch ships only the
+        # two input arrays — measured on the dev tunnel, passing the
+        # ~600-leaf variables tree as an argument costs tens of ms of
+        # handle serialization per request
+        variables = self._variables
+
+        def forward(rgb, lidar):
             logits = self._module.apply(
                 variables, rgb, None if self._single_stream else lidar, False
             )
@@ -77,7 +84,7 @@ class InferenceEngine:
         for b in buckets or self._buckets:
             rgb = jnp.zeros((b, h, w, self._spec.stream_1_in_channels), self._dtype)
             lidar = jnp.zeros((b, h, w, max(self._spec.stream_2_in_channels, 1)), self._dtype)
-            jax.block_until_ready(self._forward(self._variables, rgb, lidar))
+            jax.block_until_ready(self._forward(rgb, lidar))
 
     def start(self):
         self._running = True
@@ -134,11 +141,9 @@ class InferenceEngine:
             n = r.shape[0]
             bucket = self._bucket_for(n)
             out = self._forward(
-                self._variables,
-                self._to_device(r, bucket),
-                self._to_device(l, bucket),
+                self._to_device(r, bucket), self._to_device(l, bucket)
             )
-            outs.append(np.asarray(out[:n], np.float32))
+            outs.append(np.asarray(out, np.float32)[:n])
         return np.concatenate(outs, axis=0)
 
     def submit(self, rgb, lidar=None) -> Future:
@@ -177,7 +182,6 @@ class InferenceEngine:
                 # kill the worker thread and hang every queued client.
                 try:
                     out = self._forward(
-                        self._variables,
                         self._to_device(rgb, bucket),
                         self._to_device(lidar, bucket),
                     )
@@ -189,7 +193,9 @@ class InferenceEngine:
             while pending and (len(pending) > 1 or not self._running or item is False):
                 out, n, future = pending.pop(0)
                 try:
-                    future.set_result(np.asarray(out[:n], np.float32))
+                    # host-side slice: a device-side out[:n] is one more
+                    # dispatch round trip per request on a tunneled chip
+                    future.set_result(np.asarray(out, np.float32)[:n])
                 except Exception as exc:  # pragma: no cover
                     future.set_exception(exc)
                 if self._queue.qsize() > 0:
