@@ -71,6 +71,12 @@ class ModelSpec:
     # shows XLA lowers the early blocks' concats to in-place updates on its
     # own but leaves the late blocks' as full concatenates)
     dense_block_impl: str = "concat"
+    # phase-space head pays off when the full-res plane is small (the
+    # working-resolution regime it was built for): measured v5e b256
+    # 128x192 40.7 -> 35.3 ms, but b1 1280x1920 78.3 -> 87.5 ms (the
+    # block-space refine1 conv and phase concat scale with pixels). Gate
+    # by output pixel count; configurable via tpu.fused_head_max_pixels.
+    fused_head_max_pixels: int = 98304
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -98,6 +104,8 @@ class ModelSpec:
             kwargs["remat"] = bool(tpu.get("remat", False))
             kwargs["use_fused_kernels"] = bool(tpu.get("use_fused_kernels", False))
             kwargs["dense_block_impl"] = tpu.get("dense_block_impl", "concat")
+            kwargs["fused_head_max_pixels"] = int(
+                tpu.get("fused_head_max_pixels", 98304))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -505,6 +513,7 @@ class Head(nn.Module):
     num_classes: int
     dtype: Any
     use_fused: bool = False
+    fused_max_pixels: int = 98304
 
     @nn.compact
     def __call__(self, x_lo, raw, train: bool):
@@ -551,6 +560,7 @@ class Head(nn.Module):
         return (
             raw.shape[1] == 2 * x_lo.shape[1]
             and raw.shape[2] == 2 * x_lo.shape[2]
+            and raw.shape[1] * raw.shape[2] <= self.fused_max_pixels
         )
 
 
@@ -617,6 +627,7 @@ class DenseUNetLidar(nn.Module):
         # fast path can eliminate the intermediate materializations
         return Head(stage_features[-1] // 2, spec.num_classes, dt,
                     use_fused=spec.use_fused_kernels,
+                    fused_max_pixels=spec.fused_head_max_pixels,
                     name="dec_out_to_heat_maps")(x, raw_skip, train)
 
     def _encode_with_fusion(self, enc_in, s2, train):

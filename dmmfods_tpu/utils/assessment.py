@@ -50,17 +50,20 @@ def visual_assessment(config, *, num_samples=4, out_dir="assessment",
     out = Path(out_dir)
     out.mkdir(exist_ok=True, parents=True)
     written = []
-    forward = agent.eval_step  # reuse jitted eval? we need logits; use module directly
 
     variables = {"params": agent.state.params, "batch_stats": agent.state.batch_stats}
     single_stream = config.model.stream_2_in_channels == 0
 
-    count = 0
-    for image, lidar, ht_map in loader.valid_loader:
+    @jax.jit
+    def forward(image, lidar):
         logits = agent.model.module.apply(
             variables, image, None if single_stream else lidar, False
         )
-        probs = np.asarray(jax.nn.sigmoid(logits.astype(np.float32)))
+        return jax.nn.sigmoid(logits.astype(np.float32))
+
+    count = 0
+    for image, lidar, ht_map in loader.valid_loader:
+        probs = np.asarray(forward(image, lidar))
         for b in range(image.shape[0]):
             panel = _panel_image(image[b], lidar[b], probs[b], np.asarray(ht_map[b]))
             path = out / f"sample_{count}.png"
