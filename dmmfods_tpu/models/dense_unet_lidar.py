@@ -472,14 +472,25 @@ class ConvTransposeToShape(nn.Module):
 
 
 class DecoderStage(nn.Module):
-    """One U-Net decoder stage: BN-ReLU-Conv1x1(reduce)-BN-ReLU then a
-    transposed conv to the recorded skip shape (reference model:108-118)."""
+    """One U-Net decoder stage: concat with the encoder skip (stages > 0,
+    reference model:257-258), BN-ReLU-Conv1x1(reduce)-BN-ReLU, then a
+    transposed conv to the recorded skip shape (reference model:108-118).
+
+    NOTE(perf): running the skip concat through the fused
+    ``concat_bn_relu_conv1x1`` (the mid-fusion identity) was measured
+    SLOWER here — interleaved A/B at b256: 37.0 vs 35.9 ms/step. The
+    decoder's concats sit right next to large convs XLA already schedules
+    well (late-stage tensors are small), unlike the mid-fusion block's.
+    Plain concat kept."""
 
     features: int
     dtype: Any
+    use_fused: bool = False  # accepted for uniformity; see NOTE above
 
     @nn.compact
-    def __call__(self, x, target_hw, train: bool):
+    def __call__(self, x, skip, target_hw, train: bool):
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
         x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
@@ -617,9 +628,10 @@ class DenseUNetLidar(nn.Module):
         # decoder (reference model:255-261); skip/shape stacks pop LIFO
         stage_features = spec.decoder_stage_features()
         for i, feats in enumerate(stage_features):
-            if i > 0:
-                x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = DecoderStage(feats, dt, name=f"up{i + 1}")(x, shapes.pop(), train)
+            skip = skips.pop() if i > 0 else None
+            x = DecoderStage(
+                feats, dt, use_fused=spec.use_fused_kernels, name=f"up{i + 1}"
+            )(x, skip, shapes.pop(), train)
         assert not skips and not shapes
 
         # 2x upsample (reference model:120) + head over the concat with the
