@@ -301,6 +301,7 @@ class DenseBlock(nn.Module):
         return eligible(
             self.num_layers, x.shape[-1], self.growth_rate, self.bn_size,
             x.shape[1], x.shape[2], dtype_bytes=jnp.dtype(self.dtype).itemsize,
+            batch=x.shape[0],
         )
 
 

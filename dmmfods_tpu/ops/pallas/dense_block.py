@@ -108,32 +108,53 @@ def fold_block_params_jnp(params, batch_stats, num_layers, c0, growth, bn_size,
     return {"g1": g1, "b1": b1, "w1": w1, "g2": g2, "b2": b2, "w3": w3}
 
 
-def eligible(num_layers, c0, growth, bn_size, h, w, dtype_bytes=2,
-             vmem_budget=12 * 1024 * 1024):
-    """Static check that one image tile + all block weights fit VMEM and the
-    tile is lane/sublane aligned."""
+def pick_group(batch, h, w, dtype_bytes=2, *, num_layers, c0, growth,
+               bn_size, vmem_budget=20 * 1024 * 1024):
+    """Smallest per-program sample group G such that the packed tile
+    ``G * h * w`` is lane-aligned, G divides the batch, and everything fits
+    VMEM. Returns None when no G works. Late blocks have tiny per-image
+    tiles (block3 of DenseNet-121 at 128x192 input: 8x12 = 96 px), so
+    packing several samples per program is what makes them viable."""
     r = h * w
-    if r % 128 != 0 or c0 % 8 != 0 or growth % 8 != 0:
-        return False
+    if c0 % 8 != 0 or growth % 8 != 0:
+        return None
     k = bn_size * growth
     c_max = c0 + num_layers * growth
-    buf = 2 * c_max * r * dtype_bytes  # feature buffer + output block
-    weights = num_layers * (c_max * k + 9 * k * growth + 2 * c_max + 2 * k) * 4
-    act = r * max(c_max, k) * dtype_bytes * 3  # act/y1/y2 temporaries
-    return buf + weights + act <= vmem_budget
+    # conv weights ride in VMEM in the compute dtype; BN folds stay f32
+    weights = (num_layers * (c_max * k + 9 * k * growth) * dtype_bytes
+               + num_layers * (2 * c_max + 2 * k) * 4)
+    for g in (1, 2, 4, 8, 16):
+        if batch % g != 0 or (g * r) % 128 != 0:
+            continue
+        rows = g * r
+        buf = 2 * c_max * rows * dtype_bytes
+        act = rows * max(c_max, k) * dtype_bytes * 3
+        if buf + weights + act <= vmem_budget:
+            return g
+    return None
+
+
+def eligible(num_layers, c0, growth, bn_size, h, w, dtype_bytes=2,
+             vmem_budget=20 * 1024 * 1024, batch=1):
+    """Static check: some sample grouping makes the block kernel viable."""
+    return pick_group(batch, h, w, dtype_bytes, num_layers=num_layers,
+                      c0=c0, growth=growth, bn_size=bn_size,
+                      vmem_budget=vmem_budget) is not None
 
 
 def _block_kernel(x_ref, g1_ref, b1_ref, w1_ref, g2_ref, b2_ref, w3_ref,
-                  out_ref, buf_ref, *, num_layers, c0, growth, h, w, dtype):
-    """One image tile: run all layers with the feature buffer in VMEM.
+                  out_ref, buf_ref, *, num_layers, c0, growth, h, w, group,
+                  dtype):
+    """One packed tile of ``group`` images: run all layers with the feature
+    buffer in VMEM.
 
     Shapes (per grid step):
-      x_ref:  (C0, R)        input channels-first tile, R = h*w
+      x_ref:  (C0, R)        input channels-first tile, R = group*h*w
       buf_ref:(C_max, R)     VMEM scratch feature buffer
       out_ref:(C_max, R)     final block output
       weights: see fold_block_params (full stacks; layer-sliced in the loop)
     """
-    r = h * w
+    r = group * h * w
     c_max = c0 + num_layers * growth
     buf_ref[:c0, :] = x_ref[0, :, :]
     # zero the not-yet-written region once so padded-channel math is finite
@@ -155,11 +176,13 @@ def _block_kernel(x_ref, g1_ref, b1_ref, w1_ref, g2_ref, b2_ref, w3_ref,
         b2 = b2_ref[l, :].astype(jnp.float32)[None, :]
         y2 = jnp.maximum(y1 * g2 + b2, 0.0).astype(dtype)      # (R, K)
 
-        # 3x3 conv as 9 shifted matmuls over the (h, w) grid:
+        # 3x3 conv as 9 shifted matmuls over each image's (h, w) grid:
         # out[i] = sum_k x[i + k - 1] W[k]  ==>  tap W[k] pairs with the
-        # shift that realizes x[i + k - 1], i.e. shift (1 - k).
+        # shift that realizes x[i + k - 1], i.e. shift (1 - k). The shift
+        # zero-fills per image so packed samples never bleed into each
+        # other.
         k = y2.shape[-1]
-        y2g = y2.reshape(h, w, k)
+        y2g = y2.reshape(group, h, w, k)
         acc = jnp.zeros((r, growth), jnp.float32)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -174,19 +197,19 @@ def _block_kernel(x_ref, g1_ref, b1_ref, w1_ref, g2_ref, b2_ref, w3_ref,
     out_ref[0, :, :] = buf_ref[:]
 
 
-def _shift2d(x_hwk, dy, dx, dtype):
-    """Shift the (h, w, k) tile by (dy, dx) with zero fill — the SAME-padding
-    neighborhood gather for the 3x3 conv."""
-    h, w, k = x_hwk.shape
-    out = x_hwk
+def _shift2d(x_ghwk, dy, dx, dtype):
+    """Shift each image of the (g, h, w, k) tile by (dy, dx) with zero fill
+    — the SAME-padding neighborhood gather for the 3x3 conv."""
+    g, h, w, k = x_ghwk.shape
+    out = x_ghwk
     if dy == -1:
-        out = jnp.concatenate([out[1:], jnp.zeros((1, w, k), dtype)], axis=0)
+        out = jnp.concatenate([out[:, 1:], jnp.zeros((g, 1, w, k), dtype)], axis=1)
     elif dy == 1:
-        out = jnp.concatenate([jnp.zeros((1, w, k), dtype), out[:-1]], axis=0)
+        out = jnp.concatenate([jnp.zeros((g, 1, w, k), dtype), out[:, :-1]], axis=1)
     if dx == -1:
-        out = jnp.concatenate([out[:, 1:], jnp.zeros((h, 1, k), dtype)], axis=1)
+        out = jnp.concatenate([out[:, :, 1:], jnp.zeros((g, h, 1, k), dtype)], axis=2)
     elif dx == 1:
-        out = jnp.concatenate([jnp.zeros((h, 1, k), dtype), out[:, :-1]], axis=1)
+        out = jnp.concatenate([jnp.zeros((g, h, 1, k), dtype), out[:, :, :-1]], axis=2)
     return out
 
 
@@ -213,22 +236,34 @@ def dense_block_pallas(x_nhwc, folded, *, num_layers, c0, growth, h, w,
     c_max = c0 + num_layers * growth
     r = h * w
     k = folded["w1"].shape[-1]
+    group = pick_group(
+        b, h, w, np.dtype(dtype).itemsize, num_layers=num_layers, c0=c0,
+        growth=growth, bn_size=k // growth,
+    )
+    if group is None:
+        raise ValueError(
+            f"no viable sample group for block shape b={b} {h}x{w} c0={c0}"
+        )
+    rows = group * r
 
-    # channels-first flattened tiles for sublane-aligned channel stores
-    x_cfr = jnp.transpose(x_nhwc.reshape(b, r, c0), (0, 2, 1))  # (B, C0, R)
+    # channels-first packed tiles for sublane-aligned channel stores;
+    # columns ordered (sample-in-group, pixel)
+    x_cfr = jnp.transpose(
+        x_nhwc.reshape(b // group, group, r, c0), (0, 3, 1, 2)
+    ).reshape(b // group, c0, rows)
 
     kernel = functools.partial(
         _block_kernel, num_layers=num_layers, c0=c0, growth=growth,
-        h=h, w=w, dtype=dtype,
+        h=h, w=w, group=group, dtype=dtype,
     )
     flops = 2 * b * r * sum(
         (c0 + l * growth) * k + 9 * k * growth for l in range(num_layers)
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // group,),
         in_specs=[
-            pl.BlockSpec((1, c0, r), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c0, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # g1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b1
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
@@ -236,19 +271,23 @@ def dense_block_pallas(x_nhwc, folded, *, num_layers, c0, growth, h, w,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # b2
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w3
         ],
-        out_specs=pl.BlockSpec((1, c_max, r), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, c_max, rows), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c_max, r), dtype),
-        scratch_shapes=[pltpu.VMEM((c_max, r), dtype)],
+        out_shape=jax.ShapeDtypeStruct((b // group, c_max, rows), dtype),
+        scratch_shapes=[pltpu.VMEM((c_max, rows), dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(b * r * (c0 + c_max)) * np.dtype(dtype).itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         x_cfr,
-        folded["g1"], folded["b1"], folded["w1"],
-        folded["g2"], folded["b2"], folded["w3"],
+        folded["g1"], folded["b1"], folded["w1"].astype(dtype),
+        folded["g2"], folded["b2"], folded["w3"].astype(dtype),
     )
-    return jnp.transpose(out, (0, 2, 1)).reshape(b, h, w, c_max)
+    out = out.reshape(b // group, c_max, group, r)
+    return jnp.transpose(out, (0, 2, 3, 1)).reshape(b, h, w, c_max)
