@@ -42,8 +42,6 @@ def save_checkpoint(config, *, params, batch_stats, opt_state,
         keys.state_dict: {"params": params, "batch_stats": batch_stats},
         keys.optimizer: opt_state,
     }
-    if is_best:
-        filename = config.agent.best_checkpoint_name
     base = _ckpt_dir(config)
     base.mkdir(exist_ok=True, parents=True)
     path = base / filename
@@ -51,6 +49,13 @@ def save_checkpoint(config, *, params, batch_stats, opt_state,
         shutil.rmtree(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state)
+    if is_best:
+        # the reference keeps BOTH: the rolling epoch checkpoint and a
+        # best-val-IoU copy (agent:115-122)
+        best = base / config.agent.best_checkpoint_name
+        if best.exists():
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
     return str(path)
 
 

@@ -28,6 +28,7 @@ _SLOW_MODULES = {
     "test_serving", "test_fused", "test_pallas_dense_block", "test_detector",
     "test_reference_parity", "test_detection_agent",
     "test_converter_walk",  # tensorflow import dominates
+    "test_cli_e2e",
 }
 
 
