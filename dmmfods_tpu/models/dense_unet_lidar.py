@@ -241,6 +241,14 @@ class DenseBlock(nn.Module):
         if self.remat:
             layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
 
+        # impl is numerically identical either way, so pick per mode: the
+        # 'buffer' lowering wins at inference for the late blocks (their
+        # concats stay full concatenates in XLA) but LOSES under autodiff
+        # (b32 train step: all-concat 34.4 ms, all-buffer 46.8 ms — the
+        # backward of the slab updates recomputes poorly). Train always
+        # uses 'concat'.
+        impl = "concat" if train and self.impl == "buffer" else self.impl
+
         if self._pallas_eligible(x, train):
             # inference fast path: the whole block runs as one Pallas kernel
             # with the growing feature buffer resident in VMEM (measured
@@ -269,7 +277,7 @@ class DenseBlock(nn.Module):
                 name=f"denselayer{i + 1}",
             )(feats, train)
 
-        if self.impl == "buffer":
+        if impl == "buffer":
             c0 = x.shape[-1]
             c_final = c0 + self.num_layers * self.growth_rate
             buf = jnp.zeros(x.shape[:-1] + (c_final,), x.dtype)

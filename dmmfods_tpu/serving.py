@@ -55,26 +55,43 @@ class InferenceEngine:
         self._single_stream = self._spec.stream_2_in_channels == 0
         self._dtype = self._spec.dtype
 
-        decode_flag = decode
+        self._build_forward()
+        self._queue: queue.Queue = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
 
+    def _build_forward(self):
         # variables are CLOSED OVER, not passed: a jit-captured pytree is
         # baked into the executable, so per-request dispatch ships only the
         # two input arrays — measured on the dev tunnel, passing the
         # ~600-leaf variables tree as an argument costs tens of ms of
         # handle serialization per request
         variables = self._variables
+        decode_flag = self._decode
 
         def forward(rgb, lidar):
             logits = self._module.apply(
                 variables, rgb, None if self._single_stream else lidar, False
             )
-            out = jax.nn.sigmoid(logits.astype(jnp.float32)) if decode_flag else logits
-            return out
+            return jax.nn.sigmoid(logits.astype(jnp.float32)) if decode_flag else logits
 
         self._forward = jax.jit(forward)
-        self._queue: queue.Queue = queue.Queue()
-        self._thread: Optional[threading.Thread] = None
-        self._running = False
+
+    def update_variables(self, variables, *, rewarm=True):
+        """Swap in new model weights (e.g. a freshly trained checkpoint)
+        without tearing the engine down. Compiles fresh executables (the
+        weights are baked into them — see :meth:`_build_forward`); with
+        ``rewarm`` the configured buckets are recompiled before the swap
+        becomes visible, so in-flight serving never hits a compile."""
+        old_forward, old_variables = self._forward, self._variables
+        self._variables = variables
+        self._build_forward()
+        if rewarm:
+            try:
+                self.warmup()
+            except Exception:
+                self._forward, self._variables = old_forward, old_variables
+                raise
 
     # -- lifecycle ---------------------------------------------------------
 
