@@ -548,11 +548,13 @@ class Head(nn.Module):
             kernel_init=_CONV_INIT, name="refine1", dtype=self.dtype,
         )
 
-        if self._fused_eligible(x_lo, raw, train):
+        stats = self.variables.get("batch_stats", {})
+        if self._fused_eligible(x_lo, raw) and "norm0" in stats and "norm1" in stats:
+            if train:
+                return self._phase_head_train(x_lo, raw, norm0, norm1)
             from ..ops.fused import phase_space_head
 
             params = self.variables["params"]
-            stats = self.variables["batch_stats"]
             return phase_space_head(
                 x_lo.astype(self.dtype), raw.astype(self.dtype),
                 norm0=params["norm0"], norm0_stats=stats["norm0"],
@@ -571,11 +573,60 @@ class Head(nn.Module):
         x = nn.relu(x)
         return refine1(x)
 
-    def _fused_eligible(self, x_lo, raw, train) -> bool:
-        if not self.use_fused or train or self.is_initializing():
+    def _phase_head_train(self, x_lo, raw, norm0, norm1):
+        """Training-mode phase-space head: identical math to the plain
+        pipeline (loss AND gradients), at low resolution.
+
+        BN0's batch statistics over the upsampled stream equal the LOW-res
+        statistics exactly (nearest-2x duplicates every value 4x), so they
+        are computed without materializing the upsample; norm1's come from
+        shifted slices of the window grid (every full-res position appears
+        once across the four phases). The running-stat EMA updates go
+        through the BN modules with the full-res virtual sample count, so
+        eval later sees exactly what the plain path would have written.
+        """
+        from ..ops import fused as fused_ops
+
+        params = self.variables["params"]
+        dt = self.dtype
+        c_up = x_lo.shape[-1]
+        raw_ch = raw.shape[-1]
+        hh, hw = x_lo.shape[1], x_lo.shape[2]
+        n_full = raw.shape[0] * raw.shape[1] * raw.shape[2]
+
+        af = x_lo.astype(dt).astype(jnp.float32)
+        rf = raw.astype(dt).astype(jnp.float32)
+        mean0 = jnp.concatenate(
+            [jnp.mean(af, (0, 1, 2)), jnp.mean(rf, (0, 1, 2))]
+        )
+        sq0 = jnp.concatenate(
+            [jnp.mean(jnp.square(af), (0, 1, 2)),
+             jnp.mean(jnp.square(rf), (0, 1, 2))]
+        )
+        var0 = jnp.maximum(sq0 - jnp.square(mean0), 0.0)
+        g0, b0 = norm0(None, stats_override=(mean0, var0),
+                       virtual_n=n_full, return_fold=True)
+        a = jnp.maximum(af * g0[:c_up] + b0[:c_up], 0.0)
+        rn = jnp.maximum(rf * g0[c_up:] + b0[c_up:], 0.0)
+
+        w0p, w1p = fused_ops.fold_phase_head_weights(
+            params["refine0"]["kernel"], params["refine1"]["kernel"],
+            c_up, raw_ch,
+        )
+        P = fused_ops.phase_head_conv0(a, rn, w0p, dt)
+        mean1, var1, _ = fused_ops.phase_head_norm1_batch_stats(
+            P, hh, hw, self.mid_features
+        )
+        g1, b1 = norm1(None, stats_override=(mean1, var1),
+                       virtual_n=n_full, return_fold=True)
+        return fused_ops.phase_head_refine1(
+            P, g1, b1, w1p, dt, hh, hw, self.mid_features
+        )
+
+    def _fused_eligible(self, x_lo, raw) -> bool:
+        if not self.use_fused or self.is_initializing():
             return False
-        stats = self.variables.get("batch_stats", {})
-        if "norm0" not in stats or "norm1" not in stats:
+        if "refine0" not in self.variables.get("params", {}):
             return False
         return (
             raw.shape[1] == 2 * x_lo.shape[1]

@@ -194,6 +194,65 @@ def fold_phase_head_weights(w0, w1, c_up, raw_ch):
     return w0p, w1p
 
 
+def phase_head_conv0(a_normed, raw_normed, w0p, dt):
+    """Normalized inputs -> the phase-stacked window grid ``P``.
+
+    ``a_normed``: (B, hh, hw, c_up) BN0+ReLU'd up stream at LOW res;
+    ``raw_normed``: (B, H, W, raw_ch) BN0+ReLU'd raw skip at full res.
+    """
+    src = jnp.concatenate(
+        [a_normed.astype(dt), space_to_depth_2x(raw_normed.astype(dt))],
+        axis=-1,
+    )
+    return jax.lax.conv_general_dilated(
+        src, w0p.astype(dt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )                                                  # (B, hh+1, hw+1, 4c_mid)
+
+
+def phase_head_refine1(P, g1, b1, w1p, dt, hh, hw, c_mid):
+    """``P`` -> full-res logits: per-phase BN1-fold + ReLU + block-space
+    conv over shifted slices (slices feeding convs stay fused in XLA — the
+    channel concat was the 2.4 ms/step materialization), then
+    depth-to-space of just the tiny logits tensor."""
+    out12 = None
+    for pu in (0, 1):
+        for pv in (0, 1):
+            p = 2 * pu + pv
+            hp = jnp.maximum(
+                P[:, pu:pu + hh, pv:pv + hw,
+                  p * c_mid:(p + 1) * c_mid].astype(jnp.float32)
+                * g1 + b1, 0.0
+            ).astype(dt)
+            part = jax.lax.conv_general_dilated(
+                hp, w1p[:, :, p * c_mid:(p + 1) * c_mid, :].astype(dt),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )                                          # (B, hh, hw, 4n_cls)
+            out12 = part if out12 is None else out12 + part
+    return depth_to_space_2x(out12)
+
+
+def phase_head_norm1_batch_stats(P, hh, hw, c_mid):
+    """Per-REAL-channel batch statistics of the refine0 output, computed
+    from the window grid without materializing the phase stack: every
+    full-res output position appears exactly once across the four shifted
+    phase slices."""
+    total = jnp.zeros((c_mid,), jnp.float32)
+    total_sq = jnp.zeros((c_mid,), jnp.float32)
+    for pu in (0, 1):
+        for pv in (0, 1):
+            p = 2 * pu + pv
+            s = P[:, pu:pu + hh, pv:pv + hw,
+                  p * c_mid:(p + 1) * c_mid].astype(jnp.float32)
+            total = total + jnp.sum(s, axis=(0, 1, 2))
+            total_sq = total_sq + jnp.sum(jnp.square(s), axis=(0, 1, 2))
+    n = 4 * P.shape[0] * hh * hw
+    mean = total / n
+    var = jnp.maximum(total_sq / n - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
 def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
                      norm1, norm1_stats, refine1_kernel, eps=1e-5):
     """The whole head at low resolution (see block comment above).
@@ -221,40 +280,9 @@ def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
     # BN0 + ReLU: up stream at low res (upsample commutes), raw at full res
     a = jnp.maximum(x_lo.astype(jnp.float32) * g0[:c_up] + b0[:c_up], 0.0)
     rn = jnp.maximum(raw.astype(jnp.float32) * g0[c_up:] + b0[c_up:], 0.0)
-    src = jnp.concatenate([a.astype(dt), space_to_depth_2x(rn.astype(dt))],
-                          axis=-1)                     # (B, hh, hw, c_up+4raw)
-
-    # refine0 in phase space: window grid P[i', j'] reads source blocks
-    # {i'-1, i'} x {j'-1, j'}  ->  pad (1, 1) and a (2, 2) conv
-    P = jax.lax.conv_general_dilated(
-        src, w0p.astype(dt), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )                                                  # (B, hh+1, hw+1, 4c_mid)
-
-    # phase (u, v) of refine0's output = P shifted by (u, v). Instead of
-    # materializing the shifted phases STACKED (the channel concat profiled
-    # 2.4 ms/step at b256), each input phase gets its own conv over its
-    # shifted slice of P — a slice feeding a conv stays fused in XLA, only
-    # the concat forced a materialization. BN1 + ReLU apply per slice
-    # (conv zero-padding enters after the activation, as before).
+    P = phase_head_conv0(a, rn, w0p, dt)
     hh, hw = x_lo.shape[1], x_lo.shape[2]
-    out12 = None
-    for pu in (0, 1):
-        for pv in (0, 1):
-            p = 2 * pu + pv
-            hp = jnp.maximum(
-                P[:, pu:pu + hh, pv:pv + hw,
-                  p * c_mid:(p + 1) * c_mid].astype(jnp.float32)
-                * g1 + b1, 0.0
-            ).astype(dt)
-            part = jax.lax.conv_general_dilated(
-                hp, w1p[:, :, p * c_mid:(p + 1) * c_mid, :].astype(dt),
-                (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )                                          # (B, hh, hw, 4n_cls)
-            out12 = part if out12 is None else out12 + part
-    # depth_to_space expects (pu, pv, c) channel order == (u, v, o) here
-    return depth_to_space_2x(out12)
+    return phase_head_refine1(P, g1, b1, w1p, dt, hh, hw, c_mid)
 
 
 # ---------------------------------------------------------------------------

@@ -31,8 +31,16 @@ class TorchBatchNorm(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        features = x.shape[-1]
+    def __call__(self, x, *, stats_override=None, virtual_n=None,
+                 return_fold=False):
+        """Normalize ``x`` (usual path), or — for fused callers that compute
+        batch statistics themselves at a cheaper resolution —
+        ``stats_override=(mean_b, var_biased)`` with ``virtual_n`` (the
+        sample count torch would have seen) updates the running stats
+        exactly as the plain path and, with ``return_fold``, hands back the
+        folded per-channel ``(gamma, beta)`` instead of applying them
+        (``x`` may then be None)."""
+        features = x.shape[-1] if x is not None else stats_override[0].shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
 
@@ -45,6 +53,9 @@ class TorchBatchNorm(nn.Module):
         )
 
         if self.use_running_average:
+            if return_fold:
+                gamma = lax.rsqrt(ra_var.value + self.epsilon) * scale
+                return gamma, bias - ra_mean.value * gamma
             # inference fast path: fold running stats into a per-channel
             # (gamma, beta) in f32, then apply in the compute dtype — keeps
             # the elementwise pass in bf16 (half the HBM traffic) while the
@@ -53,15 +64,21 @@ class TorchBatchNorm(nn.Module):
             beta = bias - ra_mean.value * gamma
             return (x * gamma.astype(self.dtype) + beta.astype(self.dtype)).astype(self.dtype)
         else:
-            reduce_axes = tuple(range(x.ndim - 1))
-            n = x.size // features
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=reduce_axes)
-            # E[x^2]-E[x]^2 can go slightly negative under cancellation
-            # (large mean, tiny variance); clamp before rsqrt/EMA like flax.
-            var = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean), 0.0
-            )
+            if stats_override is not None:
+                mean, var = stats_override
+                n = virtual_n
+            else:
+                reduce_axes = tuple(range(x.ndim - 1))
+                n = x.size // features
+                xf = x.astype(jnp.float32)
+                mean = jnp.mean(xf, axis=reduce_axes)
+                # E[x^2]-E[x]^2 can go slightly negative under cancellation
+                # (large mean, tiny variance); clamp before rsqrt/EMA like
+                # flax.
+                var = jnp.maximum(
+                    jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean),
+                    0.0,
+                )
             if not initializing:
                 unbiased = var * (n / max(n - 1, 1))
                 ra_mean.value = self.momentum * ra_mean.value + (1.0 - self.momentum) * mean
@@ -72,4 +89,6 @@ class TorchBatchNorm(nn.Module):
         # traffic at bf16)
         gamma = lax.rsqrt(var + self.epsilon) * scale
         beta = bias - mean * gamma
+        if return_fold:
+            return gamma, beta
         return (x * gamma.astype(self.dtype) + beta.astype(self.dtype)).astype(self.dtype)

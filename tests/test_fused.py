@@ -95,3 +95,49 @@ def test_phase_space_head_matches_naive():
         x_lo, raw, norm0=n0, norm0_stats=s0, refine0_kernel=w0,
         norm1=n1, norm1_stats=s1, refine1_kernel=w1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_phase_head_train_matches_plain():
+    """Training-mode phase head == the plain upsample/concat head: outputs,
+    GRADIENTS, and the BatchNorm running-stat updates all agree."""
+    from dmmfods_tpu.models.dense_unet_lidar import Head
+
+    rng = np.random.default_rng(5)
+    B, hh, hw, c_up, raw_ch = 2, 8, 12, 32, 4
+    x_lo = jnp.asarray(rng.normal(size=(B, hh, hw, c_up)), jnp.float32)
+    raw = jnp.asarray(rng.normal(size=(B, 2 * hh, 2 * hw, raw_ch)), jnp.float32)
+
+    head_plain = Head(16, 3, jnp.float32, use_fused=False)
+    head_fused = Head(16, 3, jnp.float32, use_fused=True)
+    variables = head_plain.init(jax.random.PRNGKey(0), x_lo, raw, True)
+    # nontrivial running stats so the EMA update is visible
+    stats0 = jax.tree_util.tree_map(lambda x: x + 0.25, variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats0}
+
+    def loss_fn(head, params):
+        out, mutated = head.apply(
+            {"params": params, "batch_stats": stats0}, x_lo, raw, True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out ** 2), mutated["batch_stats"]
+
+    (l1, s1), g1 = jax.value_and_grad(
+        lambda p: loss_fn(head_plain, p), has_aux=True)(variables["params"])
+    (l2, s2), g2 = jax.value_and_grad(
+        lambda p: loss_fn(head_fused, p), has_aux=True)(variables["params"])
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    def compare(t1, t2, atol, rtol):
+        f1 = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(t1)}
+        f2 = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(t2)}
+        assert f1.keys() == f2.keys()
+        for key in f1:
+            np.testing.assert_allclose(
+                np.asarray(f1[key]), np.asarray(f2[key]),
+                atol=atol, rtol=rtol, err_msg=key,
+            )
+
+    compare(g1, g2, 2e-3, 1e-3)
+    compare(s1, s2, 1e-4, 1e-4)
