@@ -198,8 +198,20 @@ class Dense_U_Net_lidar_Agent:
             self.logger.info("You have entered CTRL+C.. Wait to finalize")
 
     def train(self):
-        self.config.loss.func = "bce_with_logits(sum)"
-        self.config.optimizer.func = f"optax.adam(lr={self.config.optimizer.learning_rate})"
+        # record the ACTUAL configured objective/optimizer, not a fixed
+        # string — a focal or amsgrad run must be identifiable from its
+        # hyperparams.json / TB hparams tab
+        loss = self.config.loss
+        loss_type = loss.get("type", "bce")
+        if loss_type == "bce":
+            loss.func = "bce_with_logits(sum)"
+        else:
+            loss.func = f"{loss_type}(alpha={loss.alpha}, gamma={loss.gamma}, sum)"
+        opt = self.config.optimizer
+        opt_name = "amsgrad" if opt.get("amsgrad", False) else "adam"
+        opt.func = f"optax.{opt_name}(lr={opt.learning_rate})" + (
+            f" + weight_decay({opt.weight_decay})" if opt.get("weight_decay", 0) else ""
+        )
         self.add_hparams_summary_writer()
         self.save_hparams_json()
 

@@ -218,6 +218,13 @@ class DetectionAgent:
         self.hw = (int(h), int(w))
         _, full_w, full_h = cfg.dataset.images["original.size"]
         self.full_hw = (int(full_h), int(full_w))
+        # the pooled rasterizer (eval GT) assumes one isotropic pool factor;
+        # a mismatched aspect config would silently mis-scale box x/width
+        assert self.full_hw[1] // self.hw[1] == self.full_hw[0] // self.hw[0], (
+            f"anisotropic resize not supported: width scale "
+            f"{self.full_hw[1] // self.hw[1]} != height scale "
+            f"{self.full_hw[0] // self.hw[0]}"
+        )
         self.scale = self.full_hw[0] // self.hw[0]
 
         # init params on host CPU (same rationale as the main model ctor)

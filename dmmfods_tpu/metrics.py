@@ -89,41 +89,44 @@ def compute_accuracy(ground_truth, prediction, threshold=0.7, *, sigmoid=False):
     return jnp.sum(bin_pred == bin_gt, axis=axes) / per_class_elems
 
 
-def heatmap_average_precision(ground_truth, logits, thresholds=None):
-    """Pixel-wise per-class average precision over score thresholds.
+def heatmap_average_precision(ground_truth, logits, gt_threshold=0.7):
+    """Exact pixel-wise per-class average precision (no threshold grid).
 
     Benchmark-grade metric (not in the reference, which only has thresholded
-    IoU/accuracy): sweeps sigmoid-probability thresholds, computes
-    precision/recall per class against binarized GT (>= 0.7 as the reference
-    threshold), and integrates via the trapezoid rule on the PR curve.
+    IoU/accuracy). **Pinned definition** (recorded in BASELINE.md so parity
+    numbers are reproducible): every pixel is a scored candidate (the raw
+    logit — sigmoid is monotone, so sorting logits sorts probabilities); GT
+    positives are pixels whose heat-map value is >= ``gt_threshold`` (0.7,
+    the reference IoU threshold); pixels sorted by descending score give the
+    exact stepwise PR curve, and
+
+        AP = (1/P) * sum over positives of precision-at-that-positive
+
+    — the interpolation-free area under the PR curve
+    (sklearn ``average_precision_score`` semantics). A class with zero GT
+    positives scores 0. Every prediction participates; no grid choice can
+    move the number.
 
     Args:
       ground_truth: ``(B, H, W, C)`` heat maps in [0, 1].
       logits: ``(B, H, W, C)`` raw model outputs.
-    Returns ``(C,)`` AP per class.
+    Returns ``(C,)`` AP per class, float32.
     """
-    if thresholds is None:
-        thresholds = jnp.linspace(0.05, 0.95, 19)
-    probs = jax.nn.sigmoid(logits)
-    gt = ground_truth >= 0.7
+    num_classes = ground_truth.shape[-1]
+    gt = (ground_truth >= gt_threshold).reshape(-1, num_classes).T  # (C, N)
+    scores = logits.astype(jnp.float32).reshape(-1, num_classes).T  # (C, N)
+    n = scores.shape[-1]
 
-    def pr_at(t):
-        pred = probs >= t
-        tp = jnp.sum(pred & gt, axis=(0, 1, 2)).astype(jnp.float32)
-        fp = jnp.sum(pred & ~gt, axis=(0, 1, 2)).astype(jnp.float32)
-        fn = jnp.sum(~pred & gt, axis=(0, 1, 2)).astype(jnp.float32)
-        precision = tp / jnp.maximum(tp + fp, 1.0)
-        recall = tp / jnp.maximum(tp + fn, 1.0)
-        return precision, recall
+    def ap_one(s, g):
+        # descending-score order; sort_key trick keeps one sort per class
+        g_sorted = jnp.take(g, jnp.argsort(-s)).astype(jnp.float32)
+        tp = jnp.cumsum(g_sorted)
+        precision = tp / jnp.arange(1, n + 1, dtype=jnp.float32)
+        positives = tp[-1]
+        return jnp.where(
+            positives > 0,
+            jnp.sum(precision * g_sorted) / jnp.maximum(positives, 1.0),
+            0.0,
+        )
 
-    precisions, recalls = jax.vmap(pr_at)(thresholds)  # (T, C)
-    # sort by recall ascending per class, anchor the curve at recall 0 with
-    # the precision of the lowest-recall point, and trapezoid-integrate
-    order = jnp.argsort(recalls, axis=0)
-    rec = jnp.take_along_axis(recalls, order, axis=0)
-    prec = jnp.take_along_axis(precisions, order, axis=0)
-    rec = jnp.concatenate([jnp.zeros_like(rec[:1]), rec], axis=0)
-    prec = jnp.concatenate([prec[:1], prec], axis=0)
-    return jnp.sum(
-        (rec[1:] - rec[:-1]) * 0.5 * (prec[1:] + prec[:-1]), axis=0
-    )
+    return jax.vmap(ap_one)(scores, gt)

@@ -65,6 +65,10 @@ class TorchBatchNorm(nn.Module):
             return (x * gamma.astype(self.dtype) + beta.astype(self.dtype)).astype(self.dtype)
         else:
             if stats_override is not None:
+                assert virtual_n is not None, (
+                    "stats_override requires virtual_n (the sample count the "
+                    "plain path would have reduced over) for the unbiased EMA"
+                )
                 mean, var = stats_override
                 n = virtual_n
             else:

@@ -61,12 +61,14 @@ class InferenceEngine:
         self._running = False
 
     def _build_forward(self):
+        self._forward = self._make_forward(self._variables)
+
+    def _make_forward(self, variables):
         # variables are CLOSED OVER, not passed: a jit-captured pytree is
         # baked into the executable, so per-request dispatch ships only the
         # two input arrays — measured on the dev tunnel, passing the
         # ~600-leaf variables tree as an argument costs tens of ms of
         # handle serialization per request
-        variables = self._variables
         decode_flag = self._decode
 
         def forward(rgb, lidar):
@@ -75,33 +77,35 @@ class InferenceEngine:
             )
             return jax.nn.sigmoid(logits.astype(jnp.float32)) if decode_flag else logits
 
-        self._forward = jax.jit(forward)
+        return jax.jit(forward)
 
     def update_variables(self, variables, *, rewarm=True):
         """Swap in new model weights (e.g. a freshly trained checkpoint)
         without tearing the engine down. Compiles fresh executables (the
-        weights are baked into them — see :meth:`_build_forward`); with
-        ``rewarm`` the configured buckets are recompiled before the swap
-        becomes visible, so in-flight serving never hits a compile."""
-        old_forward, old_variables = self._forward, self._variables
-        self._variables = variables
-        self._build_forward()
+        weights are baked into them — see :meth:`_make_forward`); with
+        ``rewarm`` the configured buckets are compiled on a LOCAL forward
+        first and the swap becomes visible only after every bucket warms —
+        concurrent worker-thread requests keep serving the old weights (and
+        never hit a compile) until then, and a failed rewarm leaves the
+        engine untouched."""
+        new_forward = self._make_forward(variables)
         if rewarm:
-            try:
-                self.warmup()
-            except Exception:
-                self._forward, self._variables = old_forward, old_variables
-                raise
+            self.warmup(forward=new_forward)
+        # atomic swap (a single attribute store under the GIL): the worker
+        # thread sees either the fully-warmed new forward or the old one
+        self._forward, self._variables = new_forward, variables
 
     # -- lifecycle ---------------------------------------------------------
 
-    def warmup(self, buckets: Optional[Sequence[int]] = None):
-        """Compile every bucket ahead of serving."""
+    def warmup(self, buckets: Optional[Sequence[int]] = None, *, forward=None):
+        """Compile every bucket ahead of serving (optionally on a not-yet-
+        installed ``forward`` — see :meth:`update_variables`)."""
         h, w = self._hw
+        fwd = self._forward if forward is None else forward
         for b in buckets or self._buckets:
             rgb = jnp.zeros((b, h, w, self._spec.stream_1_in_channels), self._dtype)
             lidar = jnp.zeros((b, h, w, max(self._spec.stream_2_in_channels, 1)), self._dtype)
-            jax.block_until_ready(self._forward(rgb, lidar))
+            jax.block_until_ready(fwd(rgb, lidar))
 
     def start(self):
         self._running = True

@@ -50,8 +50,10 @@ def save_checkpoint(config, *, params, batch_stats, opt_state,
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, state)
     if is_best:
-        # the reference keeps BOTH: the rolling epoch checkpoint and a
-        # best-val-IoU copy (agent:115-122)
+        # Deliberate improvement over the reference: reference agent:115-122
+        # REPLACES the filename with best_checkpoint_name on best epochs, so
+        # its rolling checkpoint goes stale. Here both stay fresh: the
+        # rolling epoch checkpoint above AND a best-val-IoU copy.
         best = base / config.agent.best_checkpoint_name
         if best.exists():
             shutil.rmtree(best)

@@ -269,3 +269,44 @@ def test_agent_raw_mode(tmp_path, splat):
     assert agent.current_train_iteration == 2
     assert agent.current_val_iteration == 2
     agent.finalize()
+
+
+def test_hparams_record_reflects_config(tmp_path):
+    """A focal+amsgrad run's hyperparams.json / TB hparams must name the
+    ACTUAL objective and optimizer, not hard-coded bce/adam strings."""
+    import json
+
+    from dmmfods_tpu.agents.dense_unet_agent import Dense_U_Net_lidar_Agent
+    from dmmfods_tpu.config import get_config
+    from dmmfods_tpu.data.waymo import PrefetchLoader
+
+    cfg = get_config(str(tmp_path))
+    cfg.tpu.compute_dtype = "float32"
+    cfg.model.growth_rate = 8
+    cfg.model.block_config = (2, 2, 2, 2)
+    cfg.model.num_init_features = 16
+    cfg.agent.max_epoch = 1
+    cfg.dataset.images.size = (3, 64, 32)
+    cfg.tpu.mesh.data = 2
+    cfg.loss.type = "focal"
+    cfg.optimizer.amsgrad = True
+
+    class Loader:
+        def __init__(self):
+            ds = SyntheticDataset(num_batches=1, batch_size=2, h=32, w=64)
+            self.train_loader = PrefetchLoader(ds)
+            self.valid_loader = PrefetchLoader(ds)
+            self.train_iterations = len(ds)
+            self.valid_iterations = len(ds)
+
+    agent = Dense_U_Net_lidar_Agent(cfg, torchvision_init=False, data_loader=Loader())
+    agent.run()
+    agent.finalize()
+    with open(f"{cfg.dir.current_run.summary}/hyperparams.json") as f:
+        hp = json.load(f)
+    assert "focal" in cfg.loss.func
+    assert "amsgrad" in cfg.optimizer.func
+    assert hp["loss"]["type"] == "focal"
+    assert "focal" in hp["loss"]["func"]
+    assert hp["optimizer"]["amsgrad"] is True
+    assert "amsgrad" in hp["optimizer"]["func"]
