@@ -245,9 +245,24 @@ class DenseBlock(nn.Module):
         # 'buffer' lowering wins at inference for the late blocks (their
         # concats stay full concatenates in XLA) but LOSES under autodiff
         # (b32 train step: all-concat 34.4 ms, all-buffer 46.8 ms — the
-        # backward of the slab updates recomputes poorly). Train always
-        # uses 'concat'.
+        # backward of the slab updates recomputes poorly). Under train the
+        # custom-VJP lowering ('vjp', ops/dense_block_vjp.py) supersedes
+        # both: single-buffer residual + reverse-walk recompute.
         impl = "concat" if train and self.impl == "buffer" else self.impl
+
+        if train and impl == "vjp" and self._vjp_eligible():
+            from ..ops.dense_block_vjp import dense_block_train, ema_updates
+
+            params = self.variables["params"]
+            out, stats = dense_block_train(x, params, _BN_EPS)
+            if self.is_mutable_collection("batch_stats"):
+                old = self.variables["batch_stats"]
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                for name, upd in ema_updates(old, stats, n).items():
+                    self.put_variable("batch_stats", name, upd)
+            return out
+        if impl == "vjp":
+            impl = "buffer"  # eval twin of the vjp lowering
 
         if self._pallas_eligible(x, train):
             # inference fast path: the whole block runs as one Pallas kernel
@@ -293,6 +308,12 @@ class DenseBlock(nn.Module):
             new = layer(i, features)
             features = jnp.concatenate([features, new], axis=-1)
         return features
+
+    def _vjp_eligible(self) -> bool:
+        if self.is_initializing() or self.drop_rate > 0 or self.remat:
+            return False
+        stats = self.variables.get("batch_stats", {})
+        return "denselayer1" in stats
 
     def _pallas_eligible(self, x, train: bool) -> bool:
         if self.impl != "pallas" or train or self.is_initializing():

@@ -145,6 +145,89 @@ def test_train_mode_updates_batch_stats():
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+def test_vjp_dense_block_matches_concat_autodiff():
+    """The custom-VJP training lowering (ops/dense_block_vjp.py) must equal
+    plain autodiff of the concat lowering: same logits, same loss gradients
+    (forward math and chain rule are identical; only the residual strategy
+    differs), and same running-stat EMA updates."""
+    spec_c = _tiny_spec(dense_block_impl="concat")
+    spec_v = _tiny_spec(dense_block_impl="vjp")
+    mod_c = DenseUNetLidar(spec_c)
+    mod_v = DenseUNetLidar(spec_v)
+    rgb = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    variables = mod_c.init(jax.random.PRNGKey(0), rgb, lidar, False)
+
+    def loss_fn(module):
+        def f(params):
+            logits, mutated = module.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                rgb, lidar, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(logits.astype(jnp.float32) ** 2), mutated["batch_stats"]
+        return f
+
+    (l_c, bs_c), g_c = jax.value_and_grad(loss_fn(mod_c), has_aux=True)(
+        variables["params"])
+    (l_v, bs_v), g_v = jax.value_and_grad(loss_fn(mod_v), has_aux=True)(
+        variables["params"])
+
+    np.testing.assert_allclose(float(l_c), float(l_v), rtol=1e-6)
+    # f32 tolerance: same math, different reduction orders (slice-convs vs
+    # concat-convs) amplified by BN-backward cancellation — the companion
+    # f64 test below pins EXACT equality of the math (7e-15 observed)
+    for a, b in zip(jax.tree_util.tree_leaves(g_c), jax.tree_util.tree_leaves(g_v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
+    flat_c = jax.tree_util.tree_leaves_with_path(bs_c)
+    flat_v = dict(jax.tree_util.tree_leaves_with_path(bs_v))
+    assert len(flat_c) == len(flat_v)
+    for path, a in flat_c:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(flat_v[path]), rtol=1e-5, atol=1e-6,
+            err_msg=str(path))
+
+
+def test_vjp_dense_block_exact_in_f64():
+    """Block-level f64 oracle: with reduction-order noise removed, the
+    custom-VJP gradients equal concat-autodiff gradients to machine eps —
+    proof the backward implements the identical chain rule."""
+    from dmmfods_tpu.models.dense_unet_lidar import DenseBlock
+
+    try:
+        jax.config.update("jax_enable_x64", True)
+        kw = dict(num_layers=3, growth_rate=8, bn_size=4, drop_rate=0.0,
+                  dtype=jnp.float64)
+        blk_c = DenseBlock(impl="concat", **kw)
+        blk_v = DenseBlock(impl="vjp", **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16), jnp.float64)
+        variables = blk_c.init(jax.random.PRNGKey(1), x, True)
+
+        def make_loss(blk):
+            def f(params, x):
+                out, mut = blk.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    x, True, mutable=["batch_stats"])
+                return jnp.sum(out ** 2), mut["batch_stats"]
+            return f
+
+        (l_c, bs_c), g_c = jax.value_and_grad(
+            make_loss(blk_c), has_aux=True, argnums=(0, 1))(variables["params"], x)
+        (l_v, bs_v), g_v = jax.value_and_grad(
+            make_loss(blk_v), has_aux=True, argnums=(0, 1))(variables["params"], x)
+        assert float(abs(l_c - l_v)) == 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(g_c),
+                        jax.tree_util.tree_leaves(g_v)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-12, atol=1e-12)
+        for a, b in zip(jax.tree_util.tree_leaves(bs_c),
+                        jax.tree_util.tree_leaves(bs_v)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)  # f32 stat buffers
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
 # ---------------------------------------------------------------------------
 # component parity vs torch
 # ---------------------------------------------------------------------------

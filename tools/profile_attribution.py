@@ -67,7 +67,10 @@ def trace_and_attribute(fn, args, steps=3, top=28):
 
     per_op = collections.Counter()
     for e in dev_events:
-        per_op[e["name"]] += e["dur"]
+        name = e["name"]
+        if name.startswith("jit_") or "(" in name:
+            continue  # enclosing program event — would double-count children
+        per_op[name] += e["dur"]
     total = sum(per_op.values()) / steps
 
     def category(name):
