@@ -79,23 +79,20 @@ def _layer_apply(prefix, p, eps, dt):
 
 
 def _fwd_impl(x, params, eps):
+    # plain concat lowering: with the custom backward the forward's autodiff
+    # residuals no longer exist, so the (XLA-friendly) concat chain is the
+    # right primal. (A buffer/DUS primal + DUS-accumulating backward was
+    # measured 155.9 ms/step vs concat-autodiff's 82 at b128 — XLA does not
+    # alias the full-size DUS carries.)
     num_layers = len(params)
-    c0 = x.shape[-1]
-    growth = params["denselayer1"]["conv2"]["kernel"].shape[-1]
     dt = x.dtype
-    c_final = c0 + num_layers * growth
-    buf = jnp.zeros(x.shape[:-1] + (c_final,), dt)
-    buf = lax.dynamic_update_slice(buf, x, (0, 0, 0, 0))
+    feats = x
     stats = []
     for i in range(num_layers):
-        width = c0 + i * growth
-        new, st = _layer_apply(
-            lax.slice_in_dim(buf, 0, width, axis=3),
-            params[f"denselayer{i + 1}"], eps, dt,
-        )
+        new, st = _layer_apply(feats, params[f"denselayer{i + 1}"], eps, dt)
         stats.append(st)
-        buf = lax.dynamic_update_slice(buf, new, (0, 0, 0, width))
-    return buf, stats
+        feats = jnp.concatenate([feats, new], axis=-1)
+    return feats, stats
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -135,21 +132,20 @@ def _bwd(eps, residuals, cotangents):
     def layer_out(prefix, p):
         return _layer_apply(prefix, p, eps, dt)[0]
 
-    gbuf = g_out
+    # shrinking cotangent: at layer i the live gradient is exactly the
+    # first (c0 + i*growth) channels — slice + add, never a full-size
+    # buffer carry
+    g = g_out
     g_params = {}
     for i in reversed(range(num_layers)):
         width = c0 + i * growth
         prefix = lax.slice_in_dim(buf, 0, width, axis=3)
-        g_new = lax.slice_in_dim(gbuf, width, width + growth, axis=3)
+        g_new = lax.slice_in_dim(g, width, width + growth, axis=3)
         _, vjp_fn = jax.vjp(layer_out, prefix, params[f"denselayer{i + 1}"])
         g_prefix, g_p = vjp_fn(g_new)
         g_params[f"denselayer{i + 1}"] = g_p
-        gbuf = lax.dynamic_update_slice(
-            gbuf,
-            lax.slice_in_dim(gbuf, 0, width, axis=3) + g_prefix,
-            (0, 0, 0, 0),
-        )
-    return lax.slice_in_dim(gbuf, 0, c0, axis=3), g_params
+        g = lax.slice_in_dim(g, 0, width, axis=3) + g_prefix
+    return g, g_params
 
 
 dense_block_train.defvjp(_fwd, _bwd)

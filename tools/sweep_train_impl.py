@@ -20,8 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(impl, batch, h=128, w=192, steps=10):
+    """Sustained DEVICE step time: `steps` train steps in ONE lax.scan
+    dispatch (per-call timing on the tunneled dev chip pays a ~30 ms host
+    round trip + param-handle churn per call — measured 150 ms/call for a
+    known 82 ms device step)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from dmmfods_tpu import trainer as trainer_lib
     from dmmfods_tpu.config import get_config
@@ -39,23 +44,27 @@ def measure(impl, batch, h=128, w=192, steps=10):
     tx = trainer_lib.make_optimizer(cfg)
     state = trainer_lib.create_train_state(bundle, tx)
     step = trainer_lib.make_train_step_ht(
-        bundle.module, tx, cfg, donate=True,
+        bundle.module, tx, cfg, donate=False,
         full_height=1280, full_width=1920)
     img, lidar, boxes = make_raw_batch(batch_size=batch, h=h, w=w, seed=3)
     img, lidar, boxes = jnp.asarray(img), jnp.asarray(lidar), jnp.asarray(boxes)
 
-    state, m = step(state, img, lidar, boxes)  # compile
-    jax.block_until_ready(m["loss"])
-    for _ in range(2):
-        state, m = step(state, img, lidar, boxes)
-    jax.block_until_ready(m["loss"])
+    def body(s, _):
+        s, m = step(s, img, lidar, boxes)
+        return s, m["loss"]
+
+    @jax.jit
+    def many(s):
+        return lax.scan(body, s, None, length=steps)
+
+    state2, losses = many(state)  # compile
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, img, lidar, boxes)
-    jax.block_until_ready(m["loss"])
+    _, losses = many(state)
+    jax.block_until_ready(losses)
     dt = (time.perf_counter() - t0) / steps
-    loss = float(m["loss"])
-    del state, step, bundle
+    loss = float(losses[-1])
+    del state, state2, step, bundle
     return dt, loss
 
 
@@ -73,7 +82,7 @@ def main():
         impl = impl.strip()
         dt, loss = measure(impl, args.batch, steps=args.steps)
         tflops = 3 * fwd_gflops * args.batch / dt / 1e3
-        print(f"impl={impl!r:/40} b{args.batch}: {dt * 1e3:7.1f} ms/step "
+        print(f"impl={impl!r:<40} b{args.batch}: {dt * 1e3:7.1f} ms/step "
               f"{args.batch / dt:7.0f} fps  ~{tflops:5.1f} TFLOP/s  loss={loss:.1f}",
               flush=True)
 
