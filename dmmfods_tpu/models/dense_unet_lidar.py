@@ -71,6 +71,9 @@ class ModelSpec:
     # shows XLA lowers the early blocks' concats to in-place updates on its
     # own but leaves the late blocks' as full concatenates)
     dense_block_impl: str = "concat"
+    # lower the stems' 7x7-s2 convs over a 2x space-to-depth (see
+    # EncoderStem) — wins at large resolution, no effect needed at 128x192
+    s2d_stem: bool = False
     # phase-space head pays off when the full-res plane is small (the
     # working-resolution regime it was built for): measured v5e b256
     # 128x192 40.7 -> 35.3 ms, but b1 1280x1920 78.3 -> 87.5 ms (the
@@ -104,6 +107,7 @@ class ModelSpec:
             kwargs["remat"] = bool(tpu.get("remat", False))
             kwargs["use_fused_kernels"] = bool(tpu.get("use_fused_kernels", False))
             kwargs["dense_block_impl"] = tpu.get("dense_block_impl", "concat")
+            kwargs["s2d_stem"] = bool(tpu.get("s2d_stem", False))
             kwargs["fused_head_max_pixels"] = int(
                 tpu.get("fused_head_max_pixels", 98304))
         kwargs.update(overrides)
@@ -352,17 +356,54 @@ class Transition(nn.Module):
 
 
 class EncoderStem(nn.Module):
-    """conv0(7x7, s2, p3) - norm0 - relu0 [- pool0 applied by caller]."""
+    """conv0(7x7, s2, p3) - norm0 - relu0 [- pool0 applied by caller].
+
+    ``s2d``: lower conv0 as a 4x4 stride-1 conv over the 2x space-to-depth
+    of the input (the MLPerf-ResNet stem trick) — identical taps, but the
+    MXU sees 4C instead of C input channels and a quarter of the spatial
+    positions. A 3-channel 7x7-s2 conv at 1280x1920 runs at ~2.3 GFLOP/s/
+    lane-starved (profiled 5-6 ms/stream at b1 full-res, `BASELINE.md` r3);
+    the s2d form is the same math on MXU-shaped operands. The (7,7,C,F)
+    param is kept (checkpoint/port compatibility) and re-indexed in-graph.
+    """
 
     num_init_features: int
     dtype: Any
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(
+        conv = nn.Conv(
             self.num_init_features, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, kernel_init=_CONV_INIT, name="conv0", dtype=self.dtype,
-        )(x)
+        )
+        if (self.s2d and not self.is_initializing()
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            from ..ops.fused import space_to_depth_2x
+
+            w7 = self.variables["params"]["conv0"]["kernel"]
+            c = x.shape[-1]
+            f = self.num_init_features
+            w4 = jnp.zeros((4, 4, 4 * c, f), w7.dtype)
+            # tap (dy, dx) of the 7x7 kernel reads source pixel
+            # (2i + dy - 3): in block space that is block offset
+            # a' = floor((dy - 3) / 2) in [-2, 1] and phase py = (dy - 3) & 1
+            for a in range(4):
+                for b in range(4):
+                    for py in (0, 1):
+                        for px in (0, 1):
+                            dy = 2 * (a - 2) + py + 3
+                            dx = 2 * (b - 2) + px + 3
+                            if 0 <= dy < 7 and 0 <= dx < 7:
+                                ch = (py * 2 + px) * c
+                                w4 = w4.at[a, b, ch:ch + c, :].set(w7[dy, dx])
+            x = lax.conv_general_dilated(
+                space_to_depth_2x(x).astype(self.dtype), w4.astype(self.dtype),
+                (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = conv(x)
         x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -389,7 +430,8 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
-        x = EncoderStem(spec.num_init_features, spec.dtype, name="stem")(x, train)
+        x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
+                        name="stem")(x, train)
         shapes = [(x.shape[1], x.shape[2])]  # pre-pool0 spatial size (model:248-249)
         x = _maxpool_3x3_s2_p1(x)
 
@@ -627,8 +669,14 @@ class Head(nn.Module):
         var0 = jnp.maximum(sq0 - jnp.square(mean0), 0.0)
         g0, b0 = norm0(None, stats_override=(mean0, var0),
                        virtual_n=n_full, return_fold=True)
-        a = jnp.maximum(af * g0[:c_up] + b0[:c_up], 0.0)
-        rn = jnp.maximum(rf * g0[c_up:] + b0[c_up:], 0.0)
+        # elementwise normalize in the compute dtype (the plain path's
+        # TorchBatchNorm train semantics) — stats above stay f32
+        a = jnp.maximum(
+            x_lo.astype(dt) * g0[:c_up].astype(dt) + b0[:c_up].astype(dt), 0
+        ).astype(dt)
+        rn = jnp.maximum(
+            raw.astype(dt) * g0[c_up:].astype(dt) + b0[c_up:].astype(dt), 0
+        ).astype(dt)
 
         w0p, w1p = fused_ops.fold_phase_head_weights(
             params["refine0"]["kernel"], params["refine1"]["kernel"],
@@ -727,7 +775,8 @@ class DenseUNetLidar(nn.Module):
         """Main-stream encoder with the mid-fusion concat inserted right after
         ``transition{concat_before_block_num - 1}`` (reference model:53,242-245)."""
         spec = self.spec
-        x = EncoderStem(spec.num_init_features, spec.dtype, name="features_stem")(enc_in, train)
+        x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
+                        name="features_stem")(enc_in, train)
         shapes = [(x.shape[1], x.shape[2])]
         x = _maxpool_3x3_s2_p1(x)
 
@@ -829,9 +878,11 @@ def _dense_u_net_lidar(arch, growth_rate, block_config, num_init_features,
         # Init runs once: do it eagerly on the host CPU backend (a jit-compile
         # of the full graph costs minutes; eager dispatch to a remote TPU is
         # worse), then transfer the param tree to the default device in one go.
-        default = jax.devices()[0]
+        # LOCAL devices only: under multi-process, jax.devices() lists other
+        # hosts' devices first and arrays committed there are unusable here.
+        default = jax.local_devices()[0]
         try:
-            cpu0 = jax.devices("cpu")[0]
+            cpu0 = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu0 = default
         with jax.default_device(cpu0):

@@ -188,6 +188,29 @@ def test_vjp_dense_block_matches_concat_autodiff():
             err_msg=str(path))
 
 
+def test_s2d_stem_matches_plain_conv():
+    """The space-to-depth stem lowering reads exactly the same taps as the
+    7x7-s2 conv: full-model forward parity, train and eval."""
+    spec_a = _tiny_spec(s2d_stem=False)
+    spec_b = _tiny_spec(s2d_stem=True)
+    mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+    rgb = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 1))
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    out_a = mod_a.apply(variables, rgb, lidar, False)
+    out_b = mod_b.apply(variables, rgb, lidar, False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-4)
+    ta, sa = mod_a.apply(variables, rgb, lidar, True, mutable=["batch_stats"])
+    tb, sb = mod_b.apply(variables, rgb, lidar, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(sa["batch_stats"]),
+                    jax.tree_util.tree_leaves(sb["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_vjp_dense_block_exact_in_f64():
     """Block-level f64 oracle: with reduction-order noise removed, the
     custom-VJP gradients equal concat-autodiff gradients to machine eps —

@@ -101,7 +101,7 @@ def trace_and_attribute(fn, args, steps=3, top=28):
 
 
 def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
-                  h=1280, w=1920, arch="121"):
+                  h=1280, w=1920, arch="121", s2d=False):
     import jax
     import jax.numpy as jnp
 
@@ -118,6 +118,7 @@ def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
     cfg.tpu.use_fused_kernels = fused
     cfg.tpu.fused_head_max_pixels = gate
     cfg.tpu.remat = remat
+    cfg.tpu.s2d_stem = s2d
     if impl:
         cfg.tpu.dense_block_impl = impl
     ctor = densenet201_u_lidar if arch == "201" else densenet121_u_lidar
@@ -171,16 +172,17 @@ def main():
     p.add_argument("--no-fused", action="store_true")
     p.add_argument("--gate", type=int, default=98304)
     p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--s2d", action="store_true")
     args = p.parse_args()
 
     if args.config == "3":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
-            batch=args.batch or 1)
+            batch=args.batch or 1, s2d=args.s2d)
     elif args.config == "headline":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
-            batch=args.batch or 256, h=128, w=192)
+            batch=args.batch or 256, h=128, w=192, s2d=args.s2d)
     elif args.config == "train":
         fn, fargs = build_train(batch=args.batch or 128)
     else:
