@@ -61,6 +61,21 @@ def _load():
     ] * 3 + [ctypes.POINTER(ctypes.c_int64)] * 3
     lib.dmm_prefetcher_destroy.restype = None
     lib.dmm_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.dmm_prefetcher_create_raw.restype = ctypes.c_void_p
+    lib.dmm_prefetcher_create_raw.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.dmm_prefetcher_peek_raw.restype = ctypes.c_int
+    lib.dmm_prefetcher_peek_raw.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_int64)
+    ] * 4
+    lib.dmm_prefetcher_next_raw.restype = ctypes.c_int
+    lib.dmm_prefetcher_next_raw.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ] + [ctypes.POINTER(ctypes.c_int64)] * 4
     lib.dmm_splat_pooled_f32.restype = ctypes.c_int
     lib.dmm_splat_pooled_f32.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -165,6 +180,70 @@ def splat_pooled_batch(points_concat, offsets, height=1280, width=1920,
     if status != 0:
         raise ValueError(f"native batch splat failed ({status})")
     return out[:, :, :, None]
+
+
+class NativeRawPrefetcher:
+    """Iterator over RAW-record ``.npz`` files decoded by the C++ thread
+    pool, with the LiDAR splat executed inside the reader threads — the
+    default (``tpu.splat='host'``) training path's read-ahead. Yields
+    ``(image, lidar, boxes)`` ready for ``trainer.make_train_step_ht``."""
+
+    def __init__(self, paths, full_hw, depth=4, num_threads=2):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native IO library unavailable")
+        self._lib = lib
+        self._paths = [str(p) for p in paths]
+        arr = (ctypes.c_char_p * len(self._paths))(
+            *[p.encode() for p in self._paths]
+        )
+        self._keepalive = arr
+        self._handle = lib.dmm_prefetcher_create_raw(
+            arr, len(self._paths), depth, num_threads,
+            int(full_hw[0]), int(full_hw[1]),
+        )
+
+    def __iter__(self):
+        count = 0
+        while count < len(self._paths):
+            pn, ph, pw, pm = (ctypes.c_int64() for _ in range(4))
+            pstatus = self._lib.dmm_prefetcher_peek_raw(
+                self._handle, *(ctypes.byref(d) for d in (pn, ph, pw, pm))
+            )
+            if pstatus == -1:
+                return
+            if pstatus != 0:
+                n = h = w = mb = 0
+            else:
+                n, h, w, mb = pn.value, ph.value, pw.value, pm.value
+            img = np.empty((n, h, w, 3), np.float32)
+            lidar = np.empty((n, h, w, 1), np.float32)
+            boxes = np.empty((n, mb, 5), np.int32)
+            dims = tuple(ctypes.c_int64() for _ in range(4))
+            status = self._lib.dmm_prefetcher_next_raw(
+                self._handle,
+                img.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                lidar.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                *(ctypes.byref(d) for d in dims),
+            )
+            if status == -1:
+                return
+            if status != 0:
+                raise IOError(f"native raw prefetch decode failed ({status})")
+            count += 1
+            yield img, lidar, boxes
+
+    def close(self):
+        if self._handle:
+            self._lib.dmm_prefetcher_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativePrefetcher:

@@ -222,12 +222,21 @@ class PrefetchLoader:
         self._rng = np.random.default_rng(seed)
 
     def _native_paths(self):
-        """Path list for the C++ read-ahead prefetcher, or None when it does
-        not apply (needs batched dense ``.npy`` storage + the built library)."""
+        """``(paths, mode)`` for the C++ read-ahead prefetcher, or None when
+        it does not apply. Two native modes: ``'dense'`` (batched ``.npy``
+        7-channel files) and ``'raw'`` (batched ``.npz`` raw records with
+        host splat — decode AND splat run in the C++ reader threads)."""
         if not (self.native_prefetch and self.dataset.data_is_batched):
             return None
         files = getattr(self.dataset, "files", None)  # synthetic sets none
-        if not files or not all(f.endswith(".npy") for f in files):
+        if not files:
+            return None
+        if all(f.endswith(".npy") for f in files):
+            mode = "dense"
+        elif (all(f.endswith(".npz") for f in files)
+              and getattr(self.dataset, "splat", None) == "host"):
+            mode = "raw"
+        else:
             return None
         from . import native_io
 
@@ -235,7 +244,7 @@ class PrefetchLoader:
             return None
         from os.path import join as _join
 
-        return [_join(self.dataset.root, f) for f in files]
+        return [_join(self.dataset.root, f) for f in files], mode
 
     def __len__(self):
         n = len(self.dataset)
@@ -261,15 +270,24 @@ class PrefetchLoader:
     def __iter__(self):
         groups = self._index_groups()
 
-        native_paths = self._native_paths()
-        if native_paths is not None:
+        native = self._native_paths()
+        if native is not None:
             # C++ read-ahead path: decode threads + bounded queue live in the
             # native runtime (native/dmmfods_io.cpp); this epoch's (possibly
-            # shuffled) file order is passed through.
-            from .native_io import NativePrefetcher
+            # shuffled) file order is passed through. Raw records also get
+            # their LiDAR splat inside the reader threads.
+            from .native_io import NativePrefetcher, NativeRawPrefetcher
 
+            native_paths, native_mode = native
             ordered = [native_paths[g[0]] for g in groups]
-            prefetcher = NativePrefetcher(ordered, depth=self.depth)
+            if native_mode == "raw":
+                prefetcher = NativeRawPrefetcher(
+                    ordered, (self.dataset.full_h, self.dataset.full_w),
+                    depth=self.depth,
+                    num_threads=self.dataset.splat_threads,
+                )
+            else:
+                prefetcher = NativePrefetcher(ordered, depth=self.depth)
             try:
                 yield from prefetcher
             finally:

@@ -98,6 +98,50 @@ int64_t numel(const std::vector<int64_t>& shape) {
   return n;
 }
 
+// ---------------------------------------------------------------------------
+// Minimal STORED-zip (.npz) member locator. np.savez writes uncompressed
+// members (raw-record files, data/converter.py::save_raw_data_in_batch are
+// np.savez on a seekable file: method 0, no data descriptors). Member sizes
+// are derived from the EMBEDDED npy header, which sidesteps zip64 local-
+// header size fields entirely.
+// ---------------------------------------------------------------------------
+
+bool find_npz_member(FILE* f, const char* want, NpyInfo* info) {
+  if (fseek(f, 0, SEEK_SET) != 0) return false;
+  for (;;) {
+    unsigned char hdr[30];
+    if (fread(hdr, 1, 30, f) != 30) return false;
+    const uint32_t sig = hdr[0] | (hdr[1] << 8) | (hdr[2] << 16) |
+                         ((uint32_t)hdr[3] << 24);
+    if (sig != 0x04034b50) return false;  // central directory: not found
+    const uint16_t flags = hdr[6] | (hdr[7] << 8);
+    const uint16_t method = hdr[8] | (hdr[9] << 8);
+    const uint16_t name_len = hdr[26] | (hdr[27] << 8);
+    const uint16_t extra_len = hdr[28] | (hdr[29] << 8);
+    std::string name(name_len, '\0');
+    if (fread(&name[0], 1, name_len, f) != name_len) return false;
+    if (fseek(f, extra_len, SEEK_CUR) != 0) return false;
+    if (method != 0 || (flags & 0x08)) return false;  // compressed/streamed
+    const long data_pos = ftell(f);
+    NpyInfo mi;
+    if (!parse_npy_header(f, &mi)) return false;
+    const size_t member_size =
+        mi.data_offset + (size_t)numel(mi.shape) * mi.word_size;
+    if (name == want) {
+      *info = mi;
+      info->data_offset += (size_t)data_pos;  // absolute file offset
+      return true;
+    }
+    if (fseek(f, data_pos + (long)member_size, SEEK_SET) != 0) return false;
+  }
+}
+
+bool read_member_data(FILE* f, const NpyInfo& info, void* dst) {
+  const size_t bytes = (size_t)numel(info.shape) * info.word_size;
+  return fseek(f, (long)info.data_offset, SEEK_SET) == 0 &&
+         fread(dst, 1, bytes, f) == bytes;
+}
+
 }  // namespace
 
 extern "C" {
@@ -318,18 +362,82 @@ int dmm_splat_pooled_batch_f32(const float* points_concat,
 
 // ---------------------------------------------------------------------------
 // Threaded read-ahead prefetcher: N reader threads decode batch files into a
-// bounded queue; the consumer pops ready NHWC buffers. GIL-free.
+// bounded queue; the consumer pops ready NHWC buffers. GIL-free. Two modes:
+// dense (.npy 7-channel batches -> img/lidar/ht) and RAW (.npz records ->
+// img/boxes + the LiDAR splat executed right here in the reader thread, so
+// the default raw-record training path gets the same read-ahead as dense).
 // ---------------------------------------------------------------------------
 
 struct DmmBatch {
   std::vector<float> img, lidar, ht;
-  int64_t n = 0, h = 0, w = 0;
+  std::vector<int32_t> boxes;
+  int64_t n = 0, h = 0, w = 0, mb = 0;
   int status = 0;
 };
+
+// Raw-record (.npz) decode + in-thread splat. Keys per
+// data/converter.py::save_raw_data_in_batch: images (B,h,w,3) f4,
+// points (M,3) f4, offsets (B+1) i8, boxes (B,mb,5) i4.
+static int decode_raw_record(const std::string& path, int64_t full_h,
+                             int64_t full_w, DmmBatch* b) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) return 1;
+  NpyInfo im, pt, of, bx;
+  if (!find_npz_member(f, "images.npy", &im) || im.shape.size() != 4 ||
+      im.shape[3] != 3 || im.kind != 'f' || im.word_size != 4) {
+    fclose(f);
+    return 2;
+  }
+  if (!find_npz_member(f, "points.npy", &pt) || pt.kind != 'f' ||
+      pt.word_size != 4 || pt.shape.size() != 2 || pt.shape[1] != 3) {
+    fclose(f);
+    return 3;
+  }
+  if (!find_npz_member(f, "offsets.npy", &of) || of.kind != 'i' ||
+      of.word_size != 8) {
+    fclose(f);
+    return 4;
+  }
+  if (!find_npz_member(f, "boxes.npy", &bx) || bx.kind != 'i' ||
+      bx.word_size != 4 || bx.shape.size() != 3) {
+    fclose(f);
+    return 5;
+  }
+  const int64_t n = im.shape[0], h = im.shape[1], w = im.shape[2];
+  if (full_h / 10 != h || full_w / 10 != w || of.shape[0] != n + 1 ||
+      bx.shape[0] != n) {
+    fclose(f);
+    return 6;
+  }
+  b->img.resize((size_t)n * h * w * 3);
+  b->boxes.resize((size_t)numel(bx.shape));
+  std::vector<float> pts((size_t)numel(pt.shape));
+  std::vector<int64_t> offs((size_t)of.shape[0]);
+  const bool ok = read_member_data(f, im, b->img.data()) &&
+                  read_member_data(f, pt, pts.data()) &&
+                  read_member_data(f, of, offs.data()) &&
+                  read_member_data(f, bx, b->boxes.data());
+  fclose(f);
+  if (!ok) return 7;
+
+  const int64_t plane = h * w;
+  b->lidar.resize((size_t)n * plane);
+  std::vector<float> scratch((size_t)plane);
+  for (int64_t i = 0; i < n; ++i)
+    splat_pooled_one(pts.data() + offs[i] * 3, offs[i + 1] - offs[i], full_h,
+                     full_w, b->lidar.data() + i * plane, scratch.data());
+  b->n = n;
+  b->h = h;
+  b->w = w;
+  b->mb = bx.shape[1];
+  return 0;
+}
 
 struct DmmPrefetcher {
   std::vector<std::string> paths;
   size_t depth;
+  bool raw = false;          // raw-record (.npz) mode
+  int64_t full_h = 1280, full_w = 1920;
   std::atomic<size_t> next_idx{0};
   std::deque<DmmBatch*> ready;
   std::mutex mu;
@@ -344,21 +452,25 @@ struct DmmPrefetcher {
       size_t idx = next_idx.fetch_add(1);
       if (idx >= paths.size() || stop.load()) return;
       auto* b = new DmmBatch();
-      // probe shape first to size buffers
-      int64_t shape[8];
-      int ndim = dmm_npy_shape(paths[idx].c_str(), shape);
-      if (ndim != 4) {
-        b->status = 1;
+      if (raw) {
+        b->status = decode_raw_record(paths[idx], full_h, full_w, b);
       } else {
-        int64_t n = shape[0];
-        int64_t h = shape[3] == 7 ? shape[1] : shape[2];
-        int64_t w = shape[3] == 7 ? shape[2] : shape[3];
-        b->img.resize(n * h * w * 3);
-        b->lidar.resize(n * h * w);
-        b->ht.resize(n * h * w * 3);
-        b->status = dmm_load_batch_f32(paths[idx].c_str(), b->img.data(),
-                                       b->lidar.data(), b->ht.data(), &b->n,
-                                       &b->h, &b->w);
+        // probe shape first to size buffers
+        int64_t shape[8];
+        int ndim = dmm_npy_shape(paths[idx].c_str(), shape);
+        if (ndim != 4) {
+          b->status = 1;
+        } else {
+          int64_t n = shape[0];
+          int64_t h = shape[3] == 7 ? shape[1] : shape[2];
+          int64_t w = shape[3] == 7 ? shape[2] : shape[3];
+          b->img.resize(n * h * w * 3);
+          b->lidar.resize(n * h * w);
+          b->ht.resize(n * h * w * 3);
+          b->status = dmm_load_batch_f32(paths[idx].c_str(), b->img.data(),
+                                         b->lidar.data(), b->ht.data(), &b->n,
+                                         &b->h, &b->w);
+        }
       }
       std::unique_lock<std::mutex> lk(mu);
       cv_space.wait(lk, [&] { return ready.size() < depth || stop.load(); });
@@ -418,6 +530,64 @@ int dmm_prefetcher_next(void* handle, float* img, float* lidar, float* ht,
     memcpy(img, b->img.data(), b->img.size() * 4);
     memcpy(lidar, b->lidar.data(), b->lidar.size() * 4);
     memcpy(ht, b->ht.data(), b->ht.size() * 4);
+  }
+  delete b;
+  return status;
+}
+
+// Raw-record mode: same pool, .npz decode + in-thread LiDAR splat.
+void* dmm_prefetcher_create_raw(const char** paths, int64_t num_paths,
+                                int64_t depth, int64_t num_threads,
+                                int64_t full_h, int64_t full_w) {
+  auto* p = new DmmPrefetcher();
+  p->paths.assign(paths, paths + num_paths);
+  p->depth = (size_t)depth;
+  p->raw = true;
+  p->full_h = full_h;
+  p->full_w = full_w;
+  for (int64_t t = 0; t < num_threads; ++t)
+    p->workers.emplace_back([p] { p->worker_loop(); });
+  return p;
+}
+
+// Peek dims of the next raw batch (n, h, w, max_boxes) without popping.
+int dmm_prefetcher_peek_raw(void* handle, int64_t* n, int64_t* h, int64_t* w,
+                            int64_t* mb) {
+  auto* p = (DmmPrefetcher*)handle;
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_ready.wait(lk, [&] {
+    return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
+  });
+  if (p->ready.empty()) return -1;  // exhausted
+  DmmBatch* b = p->ready.front();
+  if (b->status == 0) { *n = b->n; *h = b->h; *w = b->w; *mb = b->mb; }
+  return b->status;
+}
+
+// Pop the next raw batch into caller buffers: img (n*h*w*3 f32),
+// lidar (n*h*w f32), boxes (n*mb*5 i32).
+int dmm_prefetcher_next_raw(void* handle, float* img, float* lidar,
+                            int32_t* boxes, int64_t* n, int64_t* h,
+                            int64_t* w, int64_t* mb) {
+  auto* p = (DmmPrefetcher*)handle;
+  DmmBatch* b = nullptr;
+  {
+    std::unique_lock<std::mutex> lk(p->mu);
+    p->cv_ready.wait(lk, [&] {
+      return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
+    });
+    if (p->ready.empty()) return -1;  // exhausted
+    b = p->ready.front();
+    p->ready.pop_front();
+    p->popped++;
+    p->cv_space.notify_one();
+  }
+  int status = b->status;
+  if (status == 0) {
+    *n = b->n; *h = b->h; *w = b->w; *mb = b->mb;
+    memcpy(img, b->img.data(), b->img.size() * 4);
+    memcpy(lidar, b->lidar.data(), b->lidar.size() * 4);
+    memcpy(boxes, b->boxes.data(), b->boxes.size() * 4);
   }
   delete b;
   return status;
