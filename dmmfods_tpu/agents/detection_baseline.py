@@ -161,6 +161,88 @@ class DetectionBaselineAgent:
         )
         return result
 
+    def validate_instances(self, detection_loader) -> Dict[str, Any]:
+        """Instance-level evaluation over a ``DetectionWaymoLoader``
+        (``data/detection.py``): per-class mask IoU + recall of the
+        detector's instances against the torchvision-style targets."""
+        num_classes = self.config.model.num_classes
+        totals = None
+        for image, lidar, ht_map, targets in detection_loader:
+            preds = self.detector(image, lidar if self.use_lidar else None)
+            preds = [
+                {k: np.asarray(v) for k, v in p.items()} for p in preds
+            ]
+            r = evaluate_instance_masks(preds, targets, num_classes)
+            if totals is None:
+                totals = {k: np.zeros_like(np.asarray(v, np.float64))
+                          for k, v in r.items()}
+            n = r["num_instances_per_class"]
+            totals["mask_iou_per_class"] += r["mask_iou_per_class"] * np.maximum(n, 1)
+            totals["recall_per_class"] += r["recall_per_class"] * np.maximum(n, 1)
+            totals["num_instances_per_class"] += n
+        if totals is None:
+            return {}
+        denom = np.maximum(totals["num_instances_per_class"], 1)
+        result = {
+            "mask_iou_per_class": totals["mask_iou_per_class"] / denom,
+            "recall_per_class": totals["recall_per_class"] / denom,
+            "num_instances_per_class": totals["num_instances_per_class"],
+        }
+        self.logger.info(
+            "Instance validation | mask IoU: %s | recall: %s | instances: %s",
+            result["mask_iou_per_class"].tolist(),
+            result["recall_per_class"].tolist(),
+            result["num_instances_per_class"].tolist(),
+        )
+        return result
+
+
+def evaluate_instance_masks(preds, targets, num_classes=3, *,
+                            mask_threshold=0.5, match_iou=0.5):
+    """Instance-level mask-IoU scoring of detections against the
+    torchvision-style targets from ``data/detection.py`` (the
+    ``DetectionWaymoDataset`` consumer): every GT instance is matched to the
+    best same-class predicted mask; reports per-class mean matched IoU and
+    recall at ``match_iou``. A finer baseline comparison than collapsing to
+    class heat maps (rectangular-mask errors show up here).
+
+    Args:
+      preds: per-sample list of dicts with ``masks (N, H, W)`` (probabilities),
+        ``labels (N,)`` and optional ``scores``.
+      targets: per-sample list of :class:`DetectionTargets`.
+    Returns dict with ``mask_iou_per_class``, ``recall_per_class`` (C,) and
+    ``num_instances_per_class``.
+    """
+    iou_sum = np.zeros(num_classes)
+    matched = np.zeros(num_classes)
+    count = np.zeros(num_classes)
+    for p, t in zip(preds, targets):
+        pred_masks = np.asarray(p["masks"]) >= mask_threshold
+        pred_labels = np.asarray(p["labels"])
+        for i in range(len(t.labels)):
+            cls = int(t.labels[i])
+            count[cls] += 1
+            gt = t.masks[i] >= mask_threshold
+            if gt.sum() == 0:
+                matched[cls] += 1  # empty GT mask: trivially covered
+                iou_sum[cls] += 1.0
+                continue
+            same = pred_masks[pred_labels == cls]
+            best = 0.0
+            for pm in same:
+                union = np.logical_or(pm, gt).sum()
+                if union:
+                    best = max(best, np.logical_and(pm, gt).sum() / union)
+            iou_sum[cls] += best
+            if best >= match_iou:
+                matched[cls] += 1
+    denom = np.maximum(count, 1)
+    return {
+        "mask_iou_per_class": iou_sum / denom,
+        "recall_per_class": matched / denom,
+        "num_instances_per_class": count,
+    }
+
 
 class DetectionAgent:
     """Full lifecycle for the TPU-native CenterNet detection baseline.
@@ -182,13 +264,14 @@ class DetectionAgent:
     """
 
     def __init__(self, config=None, torchvision_init=True, *, data_loader=None,
-                 detector=None):
+                 detector=None, use_mesh=True):
         import optax
 
         from ..config import get_config
         from ..models.detector import (
             CenterNetDetector, make_detection_train_step,
         )
+        from ..parallel import mesh as mesh_lib
         from ..utils.summary import StepTimer, SummaryWriter
 
         self.logger = logging.getLogger("DetectionAgent")
@@ -227,19 +310,21 @@ class DetectionAgent:
         )
         self.scale = self.full_hw[0] // self.hw[0]
 
-        # init params on host CPU (same rationale as the main model ctor)
+        # init params on host CPU (same rationale as the main model ctor;
+        # LOCAL devices only — jax.devices() lists other hosts' first under
+        # multi-process)
         rgb0 = jnp.zeros((1, h, w, 3), jnp.float32)
         lidar0 = jnp.zeros((1, h, w, 1), jnp.float32) if m.stream_2_in_channels else None
         try:
-            cpu0 = jax.devices("cpu")[0]
+            cpu0 = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
-            cpu0 = jax.devices()[0]
+            cpu0 = jax.local_devices()[0]
         with jax.default_device(cpu0):
             variables = self.detector.init(
                 jax.random.PRNGKey(cfg.agent.seed), rgb0, lidar0, False
             )
-        if jax.devices()[0].platform != "cpu":
-            variables = jax.device_put(variables, jax.devices()[0])
+        if jax.local_devices()[0].platform != "cpu":
+            variables = jax.device_put(variables, jax.local_devices()[0])
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
 
@@ -247,6 +332,18 @@ class DetectionAgent:
         self.tx = optax.adam(opt.learning_rate, b1=opt.beta1, b2=opt.beta2,
                              eps=opt.eps)
         self.opt_state = self.tx.init(self.params)
+
+        # the baseline rides the same dp machinery as the main agent
+        # (tpu.mesh honored; reference baseline is single-GPU like the main
+        # reference agent, FasterRCNNAgent.py:90-94): params replicated,
+        # batches sharded over the data axis in _put()
+        self.mesh = mesh_lib.make_mesh(cfg) if use_mesh else None
+        self._mesh_lib = mesh_lib
+        if self.mesh is not None:
+            replicated = mesh_lib.replicated(self.mesh)
+            self.params = jax.device_put(self.params, replicated)
+            self.batch_stats = jax.device_put(self.batch_stats, replicated)
+            self.opt_state = jax.device_put(self.opt_state, replicated)
 
         # raw-record boxes are in FULL-resolution label coordinates
         # (the rasterizer's contract); center targets want model-input
@@ -257,7 +354,19 @@ class DetectionAgent:
         )
         box_scale = float(self.full_hw[0] // int(h))
 
+        # data-parallel only for the detector (no spatial/model axes: the
+        # in-graph center-target generation and top-k decode are per-sample)
+        self._data_sharding = None
+        if self.mesh is not None and "data" in self.mesh.shape:
+            self._data_sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("data"))
+        data_sharding = self._data_sharding
+
         def train_step(params, batch_stats, opt_state, image, lidar, boxes):
+            if data_sharding is not None:
+                image = jax.lax.with_sharding_constraint(image, data_sharding)
+                lidar = jax.lax.with_sharding_constraint(lidar, data_sharding)
+                boxes = jax.lax.with_sharding_constraint(boxes, data_sharding)
             b = boxes.astype(jnp.float32)
             scaled = jnp.concatenate([b[..., :1], b[..., 1:] / box_scale], axis=-1)
             return base_step(params, batch_stats, opt_state, image, lidar, scaled)
@@ -359,6 +468,18 @@ class DetectionAgent:
         self.params = restored[keys.state_dict]["params"]
         self.batch_stats = restored[keys.state_dict]["batch_stats"]
         self.opt_state = restored[keys.optimizer]
+        if self.mesh is not None:
+            # orbax restores to default placement; steps expect
+            # mesh-replicated state (same as the main agent's resume path)
+            replicated = self._mesh_lib.replicated(self.mesh)
+            self.params = jax.device_put(self.params, replicated)
+            self.batch_stats = jax.device_put(self.batch_stats, replicated)
+            self.opt_state = jax.device_put(self.opt_state, replicated)
+
+    def _put(self, batch):
+        if self._data_sharding is None:
+            return batch
+        return tuple(jax.device_put(x, self._data_sharding) for x in batch)
 
     # -- run / train / validate (reference agent:185-425) ------------------
 
@@ -387,7 +508,8 @@ class DetectionAgent:
 
     def train_one_epoch(self):
         parts_hist = []
-        for image, lidar, boxes in self.data_loader.train_loader:
+        for batch in self.data_loader.train_loader:
+            image, lidar, boxes = self._put(batch)
             self.step_timer.start()
             (self.params, self.batch_stats, self.opt_state, loss, parts
              ) = self.train_step(
@@ -414,7 +536,8 @@ class DetectionAgent:
 
     def validate(self):
         epoch_metrics = []
-        for image, lidar, boxes in self.data_loader.valid_loader:
+        for batch in self.data_loader.valid_loader:
+            image, lidar, boxes = self._put(batch)
             m = self.eval_step(self.params, self.batch_stats, image, lidar, boxes)
             epoch_metrics.append(m)
             self.val_summary_writer.add_class_scalars(

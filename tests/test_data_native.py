@@ -175,6 +175,59 @@ def test_detection_adapter(batched_config):
     assert t.masks.shape[1:] == (16, 24)
 
 
+def test_instance_mask_evaluation_consumes_detection_adapter(batched_config):
+    """The detection adapter's instance-mask targets now have a consumer:
+    evaluate_instance_masks scores a detector per instance. A perfect
+    detector (echoes the GT masks) gets IoU == recall == 1; an empty
+    detector gets 0 where instances exist."""
+    cfg = batched_config
+    _make_batched_layout(cfg.dir.data.root, "train", n=4)
+    from dmmfods_tpu.agents.detection_baseline import (
+        DetectionBaselineAgent, evaluate_instance_masks,
+    )
+    from dmmfods_tpu.data.detection import DetectionWaymoDataset
+
+    cfg.dataset.batch_size = 32
+    ds = DetectionWaymoDataset("train", cfg, minibatch_size=2)
+    img, lidar, ht, targets = ds[0]
+
+    perfect = [
+        {"masks": t.masks, "labels": t.labels, "scores": np.ones(len(t.labels))}
+        for t in targets
+    ]
+    r = evaluate_instance_masks(perfect, targets)
+    assert (r["recall_per_class"][r["num_instances_per_class"] > 0] == 1).all()
+    assert (r["mask_iou_per_class"][r["num_instances_per_class"] > 0] == 1).all()
+
+    empty = [
+        {"masks": np.zeros((0, 16, 24)), "labels": np.zeros((0,), np.int64)}
+        for _ in targets
+    ]
+    r0 = evaluate_instance_masks(empty, targets)
+    has = r0["num_instances_per_class"] > 0
+    # planted masks are non-empty, so an empty detector scores 0 there
+    assert (r0["mask_iou_per_class"][has] < 1).all()
+
+    # agent-level wiring over the loader
+    class EchoDetector:
+        def __init__(self):
+            self.targets = None
+
+        def __call__(self, image, lidar):
+            return self.echo
+
+    det = EchoDetector()
+    agent = DetectionBaselineAgent(cfg, det)
+
+    class OneBatch:
+        def __iter__(self):
+            det.echo = perfect
+            yield img, lidar, ht, targets
+
+    result = agent.validate_instances(OneBatch())
+    assert (result["recall_per_class"][result["num_instances_per_class"] > 0] == 1).all()
+
+
 def test_mask_to_heatmap_bridge():
     from dmmfods_tpu.agents.detection_baseline import instance_masks_to_heatmaps
 
@@ -363,3 +416,63 @@ def test_raw_batch_serializer_round_trip(tmp_path):
     np.testing.assert_array_equal(img2, img)
     np.testing.assert_array_equal(boxes2, boxes)
     np.testing.assert_array_equal(points[0, :num_valid[0]], pts_c[offs[0]:offs[1]])
+
+
+def test_native_raw_prefetcher_matches_python_path(tmp_path):
+    """The C++ raw-record read-ahead (decode + in-thread splat,
+    native/dmmfods_io.cpp) yields byte-identical batches to the Python
+    WaymoDataset raw path, and PrefetchLoader auto-selects it."""
+    import pickle
+
+    from dmmfods_tpu.data import native_io
+    from dmmfods_tpu.data.converter import save_raw_data_in_batch
+
+    if not native_io.available():
+        pytest.skip("native IO library unavailable")
+
+    cfg = get_config(str(tmp_path))
+    root = Path(cfg.dir.data.root)
+    rng = np.random.default_rng(11)
+    h, w = 16, 24
+    full_h, full_w = h * 10, w * 10
+    cfg.dataset.images.size = (3, w, h)
+    cfg.dataset.images["original.size"] = (3, full_w, full_h)
+    cfg.dataset.batch_size = 2
+    tfdir = root / "bucket0" / "tf_0"
+    for sub in ("images", "points", "labels"):
+        (tfdir / sub).mkdir(parents=True, exist_ok=True)
+    for i in range(6):
+        stem = f"img_0_0_{i}_0"
+        np.save(tfdir / "images" / (stem + ".npy"),
+                rng.random((h, w, 3)).astype(np.float32))
+        n = int(rng.integers(0, 150))  # includes an empty-ish sample range
+        pts = np.stack([
+            rng.uniform(-10, full_w + 10, n), rng.uniform(-10, full_h + 10, n),
+            rng.uniform(0.5, 90, n),
+        ], axis=-1).astype(np.float32)
+        np.savez(tfdir / "points" / ("points_" + stem + ".npz"), pts)
+        with open(tfdir / "labels" / ("labels_" + stem), "wb") as fh:
+            pickle.dump({"0": {"type": 4, "x": 8, "y": 12, "width": 30,
+                               "height": 40}}, fh)
+    assert save_raw_data_in_batch(cfg, "bucket0", "train") == 3
+
+    ds = WaymoDataset("train", cfg)
+    py_batches = [ds[i] for i in range(len(ds))]
+
+    paths = [root / f for f in ds.files]
+    pf = native_io.NativeRawPrefetcher(paths, (full_h, full_w), depth=2)
+    native_batches = list(pf)
+    pf.close()
+    assert len(native_batches) == len(py_batches)
+    for (pi, pl, pb), (ni, nl, nb) in zip(py_batches, native_batches):
+        np.testing.assert_array_equal(ni, pi)
+        np.testing.assert_array_equal(nl, pl)
+        np.testing.assert_array_equal(nb, pb)
+
+    # the loader auto-selects the raw native path for .npz + host splat
+    loader = PrefetchLoader(ds, native_prefetch=True)
+    assert loader._native_paths() is not None
+    assert loader._native_paths()[1] == "raw"
+    got = list(iter(loader))
+    assert len(got) == len(py_batches)
+    np.testing.assert_array_equal(got[0][1], py_batches[0][1])

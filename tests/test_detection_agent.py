@@ -25,6 +25,7 @@ def _tiny_cfg(tmp_path, max_epoch=1):
     cfg.agent.max_epoch = max_epoch
     cfg.dataset.images.size = (3, 64, 32)
     cfg.dataset.images["original.size"] = (3, 640, 320)
+    cfg.tpu.mesh.data = 2  # synthetic batch of 2 must divide the data axis
     return cfg
 
 
@@ -66,6 +67,45 @@ def test_detection_agent_end_to_end_and_resume(tmp_path):
     text = "".join(p.read_text() for p in scalars)
     for tag in ("Training/Loss/heat_loss", "Validation/IoU", "Validation/AP"):
         assert tag in text
+
+
+def test_detection_agent_dp_matches_single_device(tmp_path):
+    """`cli train --agent detector` honors tpu.mesh: a data=4 mesh produces
+    the same train-step loss as the single-device run (mirror of the main
+    agent's test_multichip_dp_tp_sharding)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.tpu.mesh.data = 4
+
+    class Loader(_Loader):
+        def __init__(self):
+            ds = SyntheticRawDataset(num_batches=1, batch_size=4, h=32, w=64,
+                                     seed=7, splat="host", max_points=256)
+            self.train_loader = PrefetchLoader(ds)
+            self.valid_loader = PrefetchLoader(ds)
+            self.train_iterations = len(ds)
+            self.valid_iterations = len(ds)
+
+    agent_dp = DetectionAgent(cfg, torchvision_init=False, data_loader=Loader())
+    assert agent_dp.mesh is not None and agent_dp.mesh.shape["data"] == 4
+    batch = next(iter(Loader().train_loader))
+    sharded = agent_dp._put(batch)
+    # the batch really lands sharded over the data axis
+    assert len(sharded[0].sharding.device_set) == 4
+    (_, _, _, loss_dp, _) = agent_dp.train_step(
+        agent_dp.params, agent_dp.batch_stats, agent_dp.opt_state, *sharded)
+
+    cfg_s = _tiny_cfg(tmp_path)
+    agent_s = DetectionAgent(cfg_s, torchvision_init=False,
+                             data_loader=Loader(), use_mesh=False)
+    (_, _, _, loss_s, _) = agent_s.train_step(
+        agent_s.params, agent_s.batch_stats, agent_s.opt_state, *batch)
+
+    np.testing.assert_allclose(float(np.asarray(loss_dp)),
+                               float(np.asarray(loss_s)), rtol=1e-4)
+    agent_dp.finalize()
+    agent_s.finalize()
 
 
 def test_detection_agent_learns_planted_objects(tmp_path):
