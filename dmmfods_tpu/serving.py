@@ -169,17 +169,52 @@ class InferenceEngine:
 
     def submit(self, rgb, lidar=None) -> Future:
         """Asynchronous scoring; returns a ``Future`` of the heat maps.
-        The worker thread keeps the device pipeline full across requests."""
-        if self._thread is None:
-            raise RuntimeError("engine not started; call start() or use run()")
+        The worker thread keeps the device pipeline full across requests
+        and coalesces compatible queued requests into one device batch.
+        Requests may be enqueued before :meth:`start`; they are served once
+        the worker runs."""
         future: Future = Future()
         self._queue.put((np.asarray(rgb, np.float32),
                          None if lidar is None else np.asarray(lidar, np.float32),
                          future))
         return future
 
+    def _fill_lidar(self, rgb, lidar):
+        if lidar is None:
+            return np.zeros(
+                rgb.shape[:3] + (max(self._spec.stream_2_in_channels, 1),),
+                np.float32,
+            )
+        return lidar
+
+    def _collect_group(self, first):
+        """Coalesce queued requests into one device batch: starting from
+        ``first``, drain compatible waiting requests (same frame shape)
+        until the largest bucket is full. A b1-heavy load then rides the
+        large-bucket throughput (~5x device fps at b8 vs b1, BASELINE.md
+        serving table) instead of paying one dispatch per request."""
+        group = [first]  # [(rgb, lidar, future)]
+        total = first[0].shape[0]
+        max_bucket = self._buckets[-1]
+        saw_stop = False
+        while total < max_bucket:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                saw_stop = True
+                break
+            if item[0].shape[1:] != first[0].shape[1:]:
+                # incompatible resolution: flush the group, requeue this one
+                self._queue.put(item)
+                break
+            group.append(item)
+            total += item[0].shape[0]
+        return group, total, saw_stop
+
     def _worker(self):
-        pending = []  # (device_out, n, future): dispatched, not yet fetched
+        pending = []  # (device_out, [(start, n, future)...]): in flight
         while self._running or pending:
             try:
                 item = self._queue.get(timeout=0.05)
@@ -189,35 +224,50 @@ class InferenceEngine:
                 self._running = False
                 item = False
             if item:
-                rgb, lidar, future = item
-                if lidar is None:
-                    lidar = np.zeros(
-                        rgb.shape[:3] + (max(self._spec.stream_2_in_channels, 1),),
-                        np.float32,
-                    )
-                n = rgb.shape[0]
-                bucket = self._bucket_for(n)
+                group, total, saw_stop = self._collect_group(item)
+                if saw_stop:
+                    self._running = False
+                bucket = self._bucket_for(total)
                 # dispatch is async: this enqueues transfer + compute and
                 # returns immediately, overlapping with the fetch below.
-                # A bad request (wrong rank/shape) must fail ITS future, not
-                # kill the worker thread and hang every queued client.
+                # A bad request (wrong rank/shape) must fail ITS futures,
+                # not kill the worker thread and hang every queued client.
                 try:
+                    if len(group) == 1:
+                        rgb, lidar, future = group[0]
+                        lidar = self._fill_lidar(rgb, lidar)
+                        slices = [(0, rgb.shape[0], future)]
+                    else:
+                        rgb = np.concatenate([g[0] for g in group], axis=0)
+                        lidar = np.concatenate(
+                            [self._fill_lidar(g[0], g[1]) for g in group], axis=0
+                        )
+                        slices, start = [], 0
+                        for g in group:
+                            n = g[0].shape[0]
+                            slices.append((start, n, g[2]))
+                            start += n
                     out = self._forward(
                         self._to_device(rgb, bucket),
                         self._to_device(lidar, bucket),
                     )
                 except Exception as exc:
-                    future.set_exception(exc)
+                    for g in group:
+                        g[2].set_exception(exc)
                 else:
-                    pending.append((out, n, future))
+                    pending.append((out, slices))
             # keep at most one batch in flight beyond the current fetch
             while pending and (len(pending) > 1 or not self._running or item is False):
-                out, n, future = pending.pop(0)
+                out, slices = pending.pop(0)
                 try:
                     # host-side slice: a device-side out[:n] is one more
                     # dispatch round trip per request on a tunneled chip
-                    future.set_result(np.asarray(out, np.float32)[:n])
+                    host = np.asarray(out, np.float32)
+                    for start, n, future in slices:
+                        future.set_result(host[start:start + n])
                 except Exception as exc:  # pragma: no cover
-                    future.set_exception(exc)
+                    for _, _, future in slices:
+                        if not future.done():
+                            future.set_exception(exc)
                 if self._queue.qsize() > 0:
                     break  # go dispatch more work first

@@ -70,6 +70,65 @@ def test_async_pipeline(tmp_path):
         engine.stop()
 
 
+def test_request_coalescing(tmp_path):
+    """Queued b1 requests are packed into one large-bucket dispatch (the
+    worker drains compatible waiting requests), each future still getting
+    exactly its own rows back."""
+    bundle = _tiny_bundle(tmp_path)
+    engine = InferenceEngine(bundle, buckets=(1, 8), decode=False)
+    rng = np.random.default_rng(3)
+    reqs = [
+        (rng.normal(size=(1, 32, 64, 3)).astype(np.float32),
+         rng.normal(size=(1, 32, 64, 1)).astype(np.float32))
+        for _ in range(9)
+    ]
+
+    calls = []
+    inner = engine._forward
+    engine._forward = lambda r, l: (calls.append(int(r.shape[0])), inner(r, l))[1]
+
+    # enqueue BEFORE the worker starts so the drain is deterministic:
+    # first dispatch packs 8 requests into the b8 bucket, second takes the 1
+    futures = [engine.submit(r, l) for r, l in reqs]
+    engine.start()
+    try:
+        outs = [f.result(timeout=120) for f in futures]
+    finally:
+        engine.stop()
+
+    assert len(calls) == 2 and sorted(calls) == [1, 8], calls
+    for (r, l), o in zip(reqs, outs):
+        assert o.shape == (1, 32, 64, 3)
+        ref = np.asarray(bundle.apply(r, l), np.float32)
+        np.testing.assert_allclose(o, ref, atol=1e-5)
+
+
+def test_coalescing_incompatible_shapes(tmp_path):
+    """A queued request at a different resolution is never merged into the
+    current group — it gets its own dispatch and a correct result."""
+    bundle = _tiny_bundle(tmp_path)
+    engine = InferenceEngine(bundle, buckets=(1, 8), decode=False)
+    rng = np.random.default_rng(4)
+    small = (rng.normal(size=(1, 32, 64, 3)).astype(np.float32),
+             rng.normal(size=(1, 32, 64, 1)).astype(np.float32))
+    big = (rng.normal(size=(1, 64, 128, 3)).astype(np.float32),
+           rng.normal(size=(1, 64, 128, 1)).astype(np.float32))
+    f1 = engine.submit(*small)
+    f2 = engine.submit(*big)
+    f3 = engine.submit(*small)
+    engine.start()
+    try:
+        o1, o2, o3 = (f.result(timeout=240) for f in (f1, f2, f3))
+    finally:
+        engine.stop()
+    assert o1.shape == (1, 32, 64, 3)
+    assert o2.shape == (1, 64, 128, 3)
+    np.testing.assert_allclose(
+        o2, np.asarray(bundle.apply(*big), np.float32), atol=1e-5)
+    np.testing.assert_allclose(
+        o3, np.asarray(bundle.apply(*small), np.float32), atol=1e-5)
+
+
 def test_update_variables_hot_swap():
     """Swapping weights changes served outputs without restarting the
     engine; a failed rewarm rolls back atomically."""
