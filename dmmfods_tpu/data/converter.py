@@ -44,14 +44,24 @@ from ..ops import preprocess as pp
 def _require_waymo():
     try:
         import tensorflow as tf  # noqa: F401
-        from waymo_open_dataset import dataset_pb2  # noqa: F401
-        from waymo_open_dataset.utils import frame_utils  # noqa: F401
     except ImportError as exc:  # pragma: no cover
         raise ImportError(
-            "waymo tfrecord conversion needs `tensorflow` and "
-            "`waymo_open_dataset` installed; the rest of the framework "
-            "(training on converted/synthetic data) does not."
+            "waymo tfrecord conversion needs `tensorflow` installed; the "
+            "rest of the framework (training on converted/synthetic data) "
+            "does not."
         ) from exc
+    # waymo_open_dataset itself is OPTIONAL: without it the vendored
+    # wire-compatible proto subset + range-image decode take over
+    # (data/waymo_decode.py)
+
+
+def _have_waymo_od() -> bool:
+    try:
+        from waymo_open_dataset import dataset_pb2  # noqa: F401
+        from waymo_open_dataset.utils import frame_utils  # noqa: F401
+        return True
+    except ImportError:
+        return False
 
 
 def extract_lidar_array_from_point_cloud(points, cp_points, camera_name=1):
@@ -130,24 +140,36 @@ def convert_sample_raw(np_img_hwc, lidar_array, label_dict, *, max_boxes=64):
 
 
 def _waymo_frame_parser(data_bytes):
-    """Serialized tfrecord payload -> waymo ``Frame`` proto (helper.py:593-594)."""
-    from waymo_open_dataset import dataset_pb2 as open_dataset
+    """Serialized tfrecord payload -> ``Frame`` proto (helper.py:593-594).
+    Uses the waymo-od proto when installed, else the vendored
+    wire-compatible subset (``data/waymo_minimal.proto``)."""
+    if _have_waymo_od():
+        from waymo_open_dataset import dataset_pb2 as open_dataset
 
-    frame = open_dataset.Frame()
-    frame.ParseFromString(bytearray(data_bytes))
-    return frame
+        frame = open_dataset.Frame()
+        frame.ParseFromString(bytearray(data_bytes))
+        return frame
+    from . import waymo_decode
+
+    return waymo_decode.parse_frame(data_bytes)
 
 
 def _waymo_point_cloud_fn(frame):
-    """Frame -> (points, cp_points) lists via the waymo-od library
-    (helper.py:610-617) — the compute-heavy proto decode."""
-    from waymo_open_dataset.utils import frame_utils
+    """Frame -> (points, cp_points) lists (helper.py:610-617) — the
+    compute-heavy range-image decode. waymo-od library when installed, else
+    the vendored decoder (same published math; see ``data/waymo_decode.py``
+    for the one documented TOP-pose simplification)."""
+    if _have_waymo_od() and "waymo_minimal" not in type(frame).__module__:
+        from waymo_open_dataset.utils import frame_utils
 
-    (range_images, camera_projections, _, range_image_top_pose
-     ) = frame_utils.parse_range_image_and_camera_projection(frame)
-    return frame_utils.convert_range_image_to_point_cloud(
-        frame, range_images, camera_projections, range_image_top_pose
-    )
+        (range_images, camera_projections, _, range_image_top_pose
+         ) = frame_utils.parse_range_image_and_camera_projection(frame)
+        return frame_utils.convert_range_image_to_point_cloud(
+            frame, range_images, camera_projections, range_image_top_pose
+        )
+    from . import waymo_decode
+
+    return waymo_decode.decode_point_cloud(frame)
 
 
 def _decode_jpeg(image_bytes):

@@ -28,7 +28,9 @@ _SLOW_MODULES = {
     "test_serving", "test_fused", "test_pallas_dense_block", "test_detector",
     "test_reference_parity", "test_detection_agent",
     "test_converter_walk",  # tensorflow import dominates
+    "test_converter_real_decode",  # tensorflow import dominates
     "test_cli_e2e",
+    "test_multiprocess",  # spawns train-step-compiling subprocesses
 }
 
 
