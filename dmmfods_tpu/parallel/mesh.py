@@ -115,6 +115,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated_host_local(tree, mesh: Mesh):
+    """Replicate host-local values onto every device of a (possibly
+    multi-process) mesh WITHOUT any cross-process broadcast: each process
+    places its own copy on its addressable devices and the global array is
+    assembled from the local shards. Values must be identical across
+    processes (e.g. same-seed model init) — this is the multi-host
+    replication idiom; a plain ``device_put`` onto a multi-process sharding
+    triggers one Gloo/ICI broadcast rendezvous per leaf (hundreds for a
+    param tree), which both wastes interconnect and can blow the collective
+    deadline when hosts are skewed."""
+    sharding = replicated(mesh)
+    local = [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
+
+    def put(x):
+        x = np.asarray(x)
+        bufs = [jax.device_put(x, d) for d in local]
+        return jax.make_array_from_single_device_arrays(x.shape, sharding, bufs)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch onto the mesh, sharded over ``data``."""
     sharding = batch_sharding(mesh)

@@ -45,9 +45,9 @@ print("MULTIPROC_OK", pid, flush=True)
 """
 
 
-def test_two_process_distributed_reduction(tmp_path):
+def _run_two_procs(tmp_path, worker_src, timeout=180):
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(worker_src)
 
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -69,12 +69,130 @@ def test_two_process_distributed_reduction(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=180)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
             raise
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert p.returncode == 0, (
+            f"process {pid} failed:\n{out}\n--- other process:\n"
+            f"{outs[1 - pid]}"
+        )
+    return outs
+
+
+def test_two_process_distributed_reduction(tmp_path):
+    outs = _run_two_procs(tmp_path, _WORKER)
+    for pid, out in enumerate(outs):
         assert f"MULTIPROC_OK {pid}" in out, out
+
+
+# Full TRAINING step across 2 processes x 2 local devices (VERDICT r2 #5):
+# every process supplies only its host-local batch shard, the jitted train
+# step runs over the global (data=4) mesh with XLA-inserted cross-process
+# gradient collectives, and the loss must equal the single-process run on
+# the identical full batch.
+_TRAIN_WORKER = r"""
+import sys
+
+coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+
+from dmmfods_tpu import trainer as trainer_lib
+from dmmfods_tpu.config import get_config
+from dmmfods_tpu.data.synthetic import make_batch
+from dmmfods_tpu.models.dense_unet_lidar import densenet121_u_lidar
+from dmmfods_tpu.parallel import mesh as mesh_lib
+
+mesh_lib.initialize_distributed(coord, nproc, pid)
+assert jax.process_count() == nproc
+
+cfg = get_config("/tmp/mp_train_" + str(pid))
+cfg.tpu.compute_dtype = "float32"
+cfg.model.growth_rate = 8
+cfg.model.block_config = (2, 2, 2, 2)
+cfg.model.num_init_features = 16
+
+def barrier(name):
+    # coordination-service barrier (NOT a Gloo collective): aligns the two
+    # single-core-sharing processes before any Gloo op — Gloo context init
+    # has a hard 30 s deadline that model-init skew easily exceeds
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, 560_000)
+
+
+bundle = densenet121_u_lidar(config=cfg, init_hw=(32, 64))
+tx = trainer_lib.make_optimizer(cfg)
+state = trainer_lib.create_train_state(bundle, tx)
+
+mesh = mesh_lib.make_mesh(data=jax.device_count())
+# no-broadcast replication: each process places its identical local copy
+state = mesh_lib.put_replicated_host_local(state, mesh)
+barrier("post_init")
+step = trainer_lib.make_train_step(bundle.module, tx, cfg, mesh=mesh,
+                                   donate=False)
+
+img, lidar, ht = make_batch(batch_size=4, h=32, w=64, seed=5)
+lo, hi = pid * 2, (pid + 1) * 2  # this host's local rows of the global batch
+local = (np.asarray(img)[lo:hi], np.asarray(lidar)[lo:hi],
+         np.asarray(ht)[lo:hi])
+barrier("pre_shard")
+batch = mesh_lib.shard_host_local_batch(local, mesh)
+assert batch[0].shape[0] == 4  # global batch reassembled
+
+# serialize the (minutes-long, single-core) compile through the shared
+# persistent cache: pid 0 compiles, pid 1 waits and then hits the cache —
+# otherwise the compile-time skew blows the shutdown barrier deadline
+from dmmfods_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache("/tmp/mp_train_cache")
+if pid == 0:
+    compiled = step.lower(state, *batch).compile()
+barrier("compile_0")
+if pid != 0:
+    compiled = step.lower(state, *batch).compile()
+barrier("pre_step")
+_, metrics = compiled(state, *batch)
+print("MP_TRAIN_LOSS", float(metrics["loss"]), flush=True)
+barrier("done")
+"""
+
+
+def test_two_process_full_train_step(tmp_path):
+    outs = _run_two_procs(tmp_path, _TRAIN_WORKER, timeout=560)
+    losses = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("MP_TRAIN_LOSS")]
+        assert lines, out
+        losses.append(float(lines[0].split()[1]))
+    assert losses[0] == losses[1]
+
+    # single-process oracle on the identical full batch
+    import numpy as np
+
+    from dmmfods_tpu import trainer as trainer_lib
+    from dmmfods_tpu.config import get_config
+    from dmmfods_tpu.data.synthetic import make_batch
+    from dmmfods_tpu.models.dense_unet_lidar import densenet121_u_lidar
+
+    cfg = get_config(str(tmp_path))
+    cfg.tpu.compute_dtype = "float32"
+    cfg.model.growth_rate = 8
+    cfg.model.block_config = (2, 2, 2, 2)
+    cfg.model.num_init_features = 16
+    bundle = densenet121_u_lidar(config=cfg, init_hw=(32, 64))
+    tx = trainer_lib.make_optimizer(cfg)
+    state = trainer_lib.create_train_state(bundle, tx)
+    step = trainer_lib.make_train_step(bundle.module, tx, cfg, donate=False)
+    img, lidar, ht = make_batch(batch_size=4, h=32, w=64, seed=5)
+    _, metrics = step(state, img, lidar, ht)
+    np.testing.assert_allclose(losses[0], float(metrics["loss"]), rtol=1e-4)
