@@ -649,6 +649,7 @@ class Head(nn.Module):
         eval later sees exactly what the plain path would have written.
         """
         from ..ops import fused as fused_ops
+        from ..ops.normalization import _bn_train_compute
 
         params = self.variables["params"]
         dt = self.dtype
@@ -657,38 +658,36 @@ class Head(nn.Module):
         hh, hw = x_lo.shape[1], x_lo.shape[2]
         n_full = raw.shape[0] * raw.shape[1] * raw.shape[2]
 
-        af = x_lo.astype(dt).astype(jnp.float32)
-        rf = raw.astype(dt).astype(jnp.float32)
-        mean0 = jnp.concatenate(
-            [jnp.mean(af, (0, 1, 2)), jnp.mean(rf, (0, 1, 2))]
-        )
-        sq0 = jnp.concatenate(
-            [jnp.mean(jnp.square(af), (0, 1, 2)),
-             jnp.mean(jnp.square(rf), (0, 1, 2))]
-        )
-        var0 = jnp.maximum(sq0 - jnp.square(mean0), 0.0)
-        g0, b0 = norm0(None, stats_override=(mean0, var0),
-                       virtual_n=n_full, return_fold=True)
-        # elementwise normalize in the compute dtype (the plain path's
-        # TorchBatchNorm train semantics) — stats above stay f32
-        a = jnp.maximum(
-            x_lo.astype(dt) * g0[:c_up].astype(dt) + b0[:c_up].astype(dt), 0
-        ).astype(dt)
-        rn = jnp.maximum(
-            raw.astype(dt) * g0[c_up:].astype(dt) + b0[c_up:].astype(dt), 0
-        ).astype(dt)
+        # BN0 + ReLU per stream (plain autodiff — the custom-VJP BN was a
+        # measured regression, see ops/normalization.py). The up stream's
+        # batch stats at LOW res equal the stats over its nearest-2x
+        # upsample exactly (every value duplicated 4x).
+        s0 = params["norm0"]["scale"]
+        bi0 = params["norm0"]["bias"]
+        ya, mean_a, var_a, _ = _bn_train_compute(
+            x_lo.astype(dt), s0[:c_up], bi0[:c_up], _BN_EPS)
+        yr, mean_r, var_r, _ = _bn_train_compute(
+            raw.astype(dt), s0[c_up:], bi0[c_up:], _BN_EPS)
+        a = jnp.maximum(ya, 0).astype(dt)
+        rn = jnp.maximum(yr, 0).astype(dt)
+        # EMA side-effect with the full-res virtual sample count (fold
+        # discarded — the normalize already happened above)
+        norm0(None,
+              stats_override=(jnp.concatenate([mean_a, mean_r]),
+                              jnp.concatenate([var_a, var_r])),
+              virtual_n=n_full, return_fold=True)
 
         w0p, w1p = fused_ops.fold_phase_head_weights(
             params["refine0"]["kernel"], params["refine1"]["kernel"],
             c_up, raw_ch,
         )
         P = fused_ops.phase_head_conv0(a, rn, w0p, dt)
-        mean1, var1, _ = fused_ops.phase_head_norm1_batch_stats(
+        mean1, var1, _ = fused_ops.phase_head_norm1_stats_strips(
             P, hh, hw, self.mid_features
         )
         g1, b1 = norm1(None, stats_override=(mean1, var1),
                        virtual_n=n_full, return_fold=True)
-        return fused_ops.phase_head_refine1(
+        return fused_ops.phase_head_refine1_single(
             P, g1, b1, w1p, dt, hh, hw, self.mid_features
         )
 

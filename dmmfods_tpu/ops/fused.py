@@ -261,6 +261,101 @@ def phase_head_norm1_batch_stats(P, hh, hw, c_mid):
     return mean, var, n
 
 
+def phase_head_norm1_stats_strips(P, hh, hw, c_mid):
+    """Exact slice-union batch statistics of the refine0 output, computed
+    with ONE full-plane reduction + cheap edge strips (inclusion-exclusion)
+    instead of four f32 slice materializations.
+
+    Same value as :func:`phase_head_norm1_batch_stats` (up to f32 summation
+    reassociation): for phase group ``p=(pu, pv)`` the slice covers rows
+    ``pu..pu+hh-1`` / cols ``pv..pv+hw-1`` of the ``(hh+1, hw+1)`` window
+    grid, i.e. the full plane minus one edge row and one edge column (plus
+    their shared corner back). Why this formulation exists: under autodiff
+    the slice version's backward converts and pads four full-size f32
+    cotangents back into ``P``'s cotangent (profiled 2.4 ms convert +
+    2.8 ms add_any per b128 train step); the full-plane sum's backward is a
+    per-channel broadcast that fuses into the neighbouring elementwise
+    pass.
+    """
+    pf = P.astype(jnp.float32)
+    tot = jnp.sum(pf, axis=(0, 1, 2))                       # (4c,)
+    tot_sq = jnp.sum(jnp.square(pf), axis=(0, 1, 2))
+    # edge strips: rows {0, hh}, cols {0, hw}, and the four corners — all
+    # via STATIC slices (int basic indexing lowers to slice; an index
+    # array would lower to gather + a scatter-add backward, measured
+    # 3.1 ms/step at b128)
+    rows = jnp.stack([pf[:, 0, :, :], pf[:, hh, :, :]])      # (2, B, W1, 4c)
+    cols = jnp.stack([pf[:, :, 0, :], pf[:, :, hw, :]])      # (2, B, H1, 4c)
+    corn = jnp.stack([
+        jnp.stack([pf[:, 0, 0, :], pf[:, 0, hw, :]]),
+        jnp.stack([pf[:, hh, 0, :], pf[:, hh, hw, :]]),
+    ])                                                       # (2, 2, B, 4c)
+    r_sum = jnp.sum(rows, axis=(1, 2))                       # (2, 4c)
+    r_sq = jnp.sum(jnp.square(rows), axis=(1, 2))
+    c_sum = jnp.sum(cols, axis=(1, 2))                       # (2, 4c)
+    c_sq = jnp.sum(jnp.square(cols), axis=(1, 2))
+    k_sum = jnp.sum(corn, axis=2)                            # (2, 2, 4c)
+    k_sq = jnp.sum(jnp.square(corn), axis=2)
+
+    total = jnp.zeros((c_mid,), jnp.float32)
+    total_sq = jnp.zeros((c_mid,), jnp.float32)
+    for pu in (0, 1):
+        for pv in (0, 1):
+            p = 2 * pu + pv
+            ch = slice(p * c_mid, (p + 1) * c_mid)
+            ri = 1 - pu  # pu=0 excludes row hh (index 1 of [0, hh]), pu=1 row 0
+            ci = 1 - pv
+            total = total + (tot[ch] - r_sum[ri, ch] - c_sum[ci, ch]
+                             + k_sum[ri, ci, ch])
+            total_sq = total_sq + (tot_sq[ch] - r_sq[ri, ch] - c_sq[ci, ch]
+                                   + k_sq[ri, ci, ch])
+    n = 4 * P.shape[0] * hh * hw
+    mean = total / n
+    var = jnp.maximum(total_sq / n - jnp.square(mean), 0.0)
+    return mean, var, n
+
+
+def phase_head_refine1_single(P, g1, b1, w1p, dt, hh, hw, c_mid):
+    """``P`` -> full-res logits as ONE structured 4x4 conv (train path).
+
+    Same math as :func:`phase_head_refine1`: phase group ``p=(pu, pv)``'s
+    3x3 block conv over its ``(pu, pv)``-shifted slice is a 4x4 conv over
+    the whole window grid with the group's kernel placed at taps
+    ``pu..pu+2 x pv..pv+2``. Border exactness: the slice formulation
+    zero-pads each ``hp`` AFTER BN+ReLU, which zeroes each group's far edge
+    row/col of the grid (``hh`` for ``pu=0``, ``0`` for ``pu=1``, ditto
+    cols) — reproduced here by masking the normalized grid per group before
+    the conv (folding the shift into conv padding alone is wrong at image
+    borders; see BASELINE.md round-2 notes). Why: under autodiff the four
+    slice convs' backward pads and accumulates four input-gradients into
+    ``P``'s cotangent; the single conv's backward is one transposed conv.
+    """
+    b, h1, w1_, c4 = P.shape
+    n_cls = w1p.shape[-1] // 4
+    g4 = jnp.tile(g1, 4)
+    b4 = jnp.tile(b1, 4)
+    pn = jnp.maximum(P.astype(jnp.float32) * g4 + b4, 0.0).astype(dt)
+    rmask = jnp.stack([jnp.arange(h1) < hh, jnp.arange(h1) >= 1])   # (pu, H1)
+    cmask = jnp.stack([jnp.arange(w1_) < hw, jnp.arange(w1_) >= 1])  # (pv, W1)
+    m4 = rmask[:, None, :, None] & cmask[None, :, None, :]           # (pu, pv, H1, W1)
+    m4 = jnp.transpose(m4.reshape(4, h1, w1_), (1, 2, 0))            # (H1, W1, 4)
+    pn = jnp.where(
+        m4[None, :, :, :, None], pn.reshape(b, h1, w1_, 4, c_mid), 0
+    ).reshape(b, h1, w1_, c4)
+
+    w4 = jnp.zeros((4, 4, c4, 4 * n_cls), w1p.dtype)
+    for pu in (0, 1):
+        for pv in (0, 1):
+            p = 2 * pu + pv
+            ch = slice(p * c_mid, (p + 1) * c_mid)
+            w4 = w4.at[pu:pu + 3, pv:pv + 3, ch, :].set(w1p[:, :, ch, :])
+    out12 = jax.lax.conv_general_dilated(
+        pn, w4.astype(dt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )                                                                # (B, hh, hw, 4n_cls)
+    return depth_to_space_2x(out12)
+
+
 def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
                      norm1, norm1_stats, refine1_kernel, eps=1e-5):
     """The whole head at low resolution (see block comment above).

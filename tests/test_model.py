@@ -217,8 +217,16 @@ def test_vjp_dense_block_exact_in_f64():
     proof the backward implements the identical chain rule."""
     from dmmfods_tpu.models.dense_unet_lidar import DenseBlock
 
+    from dmmfods_tpu.ops import normalization as norm_mod
+
+    saved_flag = norm_mod.USE_CUSTOM_VJP
     try:
         jax.config.update("jax_enable_x64", True)
+        # pin the concat path to PLAIN AUTODIFF BN: this oracle proves the
+        # dense-block custom VJP implements autodiff's exact chain rule, so
+        # the reference side must not itself use the BN custom VJP (whose
+        # analytic backward reassociates the f32 stat chain at ~1e-7)
+        norm_mod.USE_CUSTOM_VJP = False
         kw = dict(num_layers=3, growth_rate=8, bn_size=4, drop_rate=0.0,
                   dtype=jnp.float64)
         blk_c = DenseBlock(impl="concat", **kw)
@@ -249,6 +257,49 @@ def test_vjp_dense_block_exact_in_f64():
                                        rtol=1e-6, atol=1e-7)  # f32 stat buffers
     finally:
         jax.config.update("jax_enable_x64", False)
+        norm_mod.USE_CUSTOM_VJP = saved_flag
+
+
+def test_bn_custom_vjp_matches_autodiff():
+    """The custom-VJP train-mode BatchNorm (ops/normalization.py): primal
+    bit-identical to the plain expression; gradients through y AND through
+    the EMA stat outputs match autodiff of the same expression."""
+    from dmmfods_tpu.ops import normalization as N
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 6, 5, 8)) * 2 + 1, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(8,)) + 1.2, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    ct = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+
+    def loss_custom(x, s, b):
+        y, m, v = N.bn_train_apply(x, s, b, 1e-5)
+        return jnp.sum(y * ct) + 0.3 * jnp.sum(m) + 0.7 * jnp.sum(v)
+
+    def loss_ref(x, s, b):
+        y, m, v, _ = N._bn_train_compute(x, s, b, 1e-5)
+        return jnp.sum(y * ct) + 0.3 * jnp.sum(m) + 0.7 * jnp.sum(v)
+
+    # primal: bit-identical
+    y1, m1, v1 = N.bn_train_apply(x, s, b, 1e-5)
+    y2, m2, v2, _ = N._bn_train_compute(x, s, b, 1e-5)
+    assert float(jnp.max(jnp.abs(y1 - y2))) == 0.0
+    assert float(jnp.max(jnp.abs(m1 - m2))) == 0.0
+    assert float(jnp.max(jnp.abs(v1 - v2))) == 0.0
+
+    g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(x, s, b)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, s, b)
+    for a, c, name in zip(g1, g2, ("dx", "dscale", "dbias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+    # bf16 compute dtype: both are valid roundings of the same analytic
+    # gradient — compare loosely
+    xb = x.astype(jnp.bfloat16)
+    gb1 = jax.grad(loss_custom)(xb, s, b).astype(jnp.float32)
+    gb2 = jax.grad(loss_ref)(xb, s, b).astype(jnp.float32)
+    scale_ref = float(jnp.max(jnp.abs(gb2)))
+    assert float(jnp.max(jnp.abs(gb1 - gb2))) <= 2e-2 * scale_ref
 
 
 # ---------------------------------------------------------------------------
