@@ -618,13 +618,19 @@ class Head(nn.Module):
             from ..ops.fused import phase_space_head
 
             params = self.variables["params"]
+            # refine1 lowering: shifted-slice convs stay fused and win at
+            # the working resolution; above ~100k output pixels the single
+            # masked 4x4-conv form avoids four full-plane slice reads
+            refine1_impl = (
+                "single" if raw.shape[1] * raw.shape[2] > 98304 else "slices"
+            )
             return phase_space_head(
                 x_lo.astype(self.dtype), raw.astype(self.dtype),
                 norm0=params["norm0"], norm0_stats=stats["norm0"],
                 refine0_kernel=params["refine0"]["kernel"],
                 norm1=params["norm1"], norm1_stats=stats["norm1"],
                 refine1_kernel=params["refine1"]["kernel"],
-                eps=_BN_EPS,
+                eps=_BN_EPS, refine1_impl=refine1_impl,
             )
 
         x = _nearest_upsample_2x(x_lo)

@@ -357,13 +357,18 @@ def phase_head_refine1_single(P, g1, b1, w1p, dt, hh, hw, c_mid):
 
 
 def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
-                     norm1, norm1_stats, refine1_kernel, eps=1e-5):
+                     norm1, norm1_stats, refine1_kernel, eps=1e-5,
+                     refine1_impl="slices"):
     """The whole head at low resolution (see block comment above).
 
     Args:
       x_lo: ``(B, H/2, W/2, c_up)`` decoder output (pre-upsample).
       raw: ``(B, H, W, raw_ch)`` raw input skip.
       norm0/norm1: dicts with ``scale``/``bias``; *_stats with ``mean``/``var``.
+      refine1_impl: ``"slices"`` (four shifted-slice convs — wins at small
+        planes where the slices stay fused) or ``"single"`` (one structured
+        4x4 conv over the masked window grid — see
+        :func:`phase_head_refine1_single`).
     Returns ``(B, H, W, n_cls)`` logits — numerically the plain head's output
     (weight collapse sums in f32).
     """
@@ -389,6 +394,8 @@ def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
     rn = jnp.maximum(raw * g0[c_up:].astype(dt) + b0[c_up:].astype(dt), 0).astype(dt)
     P = phase_head_conv0(a, rn, w0p, dt)
     hh, hw = x_lo.shape[1], x_lo.shape[2]
+    if refine1_impl == "single":
+        return phase_head_refine1_single(P, g1, b1, w1p, dt, hh, hw, c_mid)
     return phase_head_refine1(P, g1, b1, w1p, dt, hh, hw, c_mid)
 
 

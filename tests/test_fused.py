@@ -96,6 +96,14 @@ def test_phase_space_head_matches_naive():
         norm1=n1, norm1_stats=s1, refine1_kernel=w1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
+    # the single-4x4-conv refine1 lowering (chosen automatically at large
+    # planes) is the same math, incl. the per-phase border masking
+    out_single = fused.phase_space_head(
+        x_lo, raw, norm0=n0, norm0_stats=s0, refine0_kernel=w0,
+        norm1=n1, norm1_stats=s1, refine1_kernel=w1, refine1_impl="single")
+    np.testing.assert_allclose(np.asarray(out_single), np.asarray(ref),
+                               atol=2e-4)
+
 
 def test_phase_head_train_matches_plain():
     """Training-mode phase head == the plain upsample/concat head: outputs,

@@ -1,0 +1,65 @@
+"""Sweep full-resolution (config 3) inference variants on the real chip.
+
+Usage: python tools/sweep_fullres.py [--variants s2d,s2d+phase,...]
+
+Variants are combinations of:
+  base        plain head, no s2d (the r2 BASELINE.md config-3 row)
+  s2d         space-to-depth stem lowering
+  phase       phase-space head with the gate lifted (auto single-conv
+              refine1 above 98k pixels)
+  impl=X      dense_block_impl override (e.g. impl=concat,buffer,buffer,buffer)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def measure(s2d=False, gate=98304, impl=None, batch=1, steps=20):
+    import jax
+
+    from tools.profile_attribution import build_fullres
+
+    fn, fargs = build_fullres(impl=impl, fused=True, gate=gate, batch=batch,
+                              s2d=s2d)
+    out = fn(*fargs)
+    jax.block_until_ready(out)
+    # sustained: back-to-back dispatch, block once
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*fargs)
+    jax.block_until_ready(out)
+    sus = (time.perf_counter() - t0) / steps
+    # sanity: finite output
+    assert bool(np.isfinite(np.asarray(out[0, :4, :4, :], np.float32)).all())
+    return sus
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variants", default="s2d;s2d+phase")
+    p.add_argument("--steps", type=int, default=20)
+    args = p.parse_args()
+
+    for variant in args.variants.split(";"):
+        parts = variant.strip().split("+")
+        s2d = "s2d" in parts
+        gate = 3000000 if "phase" in parts else 98304
+        impl = None
+        for part in parts:
+            if part.startswith("impl="):
+                impl = part[5:]
+        sus = measure(s2d=s2d, gate=gate, impl=impl, steps=args.steps)
+        print(f"variant={variant:<40} sustained {sus * 1e3:7.1f} ms "
+              f"{1.0 / sus:6.1f} frames/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
