@@ -37,9 +37,16 @@ def measure(s2d=False, gate=98304, impl=None, batch=1, steps=20):
         out = fn(*fargs)
     jax.block_until_ready(out)
     sus = (time.perf_counter() - t0) / steps
-    # sanity: finite output
-    assert bool(np.isfinite(np.asarray(out[0, :4, :4, :], np.float32)).all())
-    return sus
+    # cross-check: per-step blocking (catches dispatches that overlap in a
+    # way the async loop mis-attributes; includes the ~tunnel round trip)
+    t0 = time.perf_counter()
+    for _ in range(max(steps // 2, 3)):
+        jax.block_until_ready(fn(*fargs))
+    sync = (time.perf_counter() - t0) / max(steps // 2, 3)
+    # sanity: finite output, full materialization
+    full = np.asarray(out, np.float32)
+    assert bool(np.isfinite(full).all()), "non-finite output"
+    return sus, sync
 
 
 def main():
@@ -56,9 +63,10 @@ def main():
         for part in parts:
             if part.startswith("impl="):
                 impl = part[5:]
-        sus = measure(s2d=s2d, gate=gate, impl=impl, steps=args.steps)
+        sus, sync = measure(s2d=s2d, gate=gate, impl=impl, steps=args.steps)
         print(f"variant={variant:<40} sustained {sus * 1e3:7.1f} ms "
-              f"{1.0 / sus:6.1f} frames/s", flush=True)
+              f"(sync {sync * 1e3:7.1f} ms) {1.0 / sus:6.1f} frames/s",
+              flush=True)
 
 
 if __name__ == "__main__":
