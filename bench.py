@@ -125,30 +125,27 @@ def main():
     rgb = jnp.asarray(rng.normal(size=(args.batch, args.height, args.width, 3)), dt)
     lidar = jnp.asarray(rng.normal(size=(args.batch, args.height, args.width, 1)), dt)
 
-    # compile + warmup
-    out = forward(variables, rgb, lidar)
-    jax.block_until_ready(out)
-    for _ in range(args.warmup):
-        out = forward(variables, rgb, lidar)
-    jax.block_until_ready(out)
+    # NOTE(methodology): jax.block_until_ready is a NO-OP for remote
+    # executions on the tunneled TPU backend this is benchmarked on — all
+    # timing goes through utils/timing.py, which forces completion via a
+    # scalar host fetch (validated at 191 TF/s on a chained 4096^3 matmul
+    # vs the chip's ~197 peak; see that module's docstring).
+    from dmmfods_tpu.utils.timing import (
+        sustained_step_time, synchronous_step_times,
+    )
 
-    # synchronous step time (includes the per-call host<->device round trip)
-    times = []
-    for _ in range(args.steps):
-        t0 = time.perf_counter()
-        out = forward(variables, rgb, lidar)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    def fwd():
+        return forward(variables, rgb, lidar)
+
+    # synchronous per-call times (includes the tunnel round trip; latency
+    # context only). First call compiles.
+    times = synchronous_step_times(lambda: fwd(), (), steps=args.steps)
     med_sync = float(np.median(times))
 
-    # sustained throughput: back-to-back async dispatch, block once — how a
-    # pipelined server (see dmmfods_tpu/serving.py) actually drives the chip
-    t0 = time.perf_counter()
-    outs = None
-    for _ in range(args.steps):
-        outs = forward(variables, rgb, lidar)
-    jax.block_until_ready(outs)
-    med = (time.perf_counter() - t0) / args.steps
+    # sustained throughput: back-to-back dispatch, force completion once —
+    # how a pipelined server (dmmfods_tpu/serving.py) drives the chip
+    med = sustained_step_time(lambda: fwd(), (), steps=args.steps,
+                              warmup=args.warmup)
     fps = args.batch / med
 
     flops = conv_flops_per_frame(bundle.spec, args.height, args.width)

@@ -22,20 +22,12 @@ import numpy as np
 
 
 def _time_fn(fn, args, steps=10, warmup=2):
-    import jax
+    # per-call forced-completion timing (includes the tunnel round trip);
+    # block_until_ready is a no-op on the tunneled backend — see
+    # dmmfods_tpu/utils/timing.py
+    from dmmfods_tpu.utils.timing import synchronous_step_times
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    times = []
-    for _ in range(steps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(synchronous_step_times(fn, args, steps)))
 
 
 def _build(config_overrides, h, w, dtype="bfloat16"):
@@ -75,15 +67,13 @@ def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="
         rgb, lidar = jax.device_put((rgb, lidar), device)
 
     med = _time_fn(lambda v, a, b: forward(v, a, b), (variables, rgb, lidar), steps)
-    # sustained: back-to-back dispatch, block once — the pipelined-serving
-    # number; per-call sync timing additionally pays a ~30 ms (and noisy)
-    # host<->device round trip on a tunneled chip
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(max(steps, 10)):
-        out = forward(variables, rgb, lidar)
-    jax.block_until_ready(out)
-    sustained = (time.perf_counter() - t0) / max(steps, 10)
+    # sustained: back-to-back dispatch, force completion once — the
+    # pipelined-serving number; per-call sync timing additionally pays a
+    # ~30 ms (and noisy) host<->device round trip on a tunneled chip
+    from dmmfods_tpu.utils.timing import sustained_step_time
+    sustained = sustained_step_time(
+        lambda v, a, b: forward(v, a, b), (variables, rgb, lidar),
+        steps=max(steps, 10))
     return {
         "config": name,
         "resolution": f"{h}x{w}",
@@ -229,15 +219,11 @@ def bench_serving_pipelined(steps=40, request_sizes=(1, 4, 8)):
             # chip capability at this bucket: same compiled program driven
             # back-to-back with device-resident inputs (what the engine
             # sustains once the link is not the bottleneck)
+            from dmmfods_tpu.utils.timing import sustained_step_time
             d_rgb = jax.device_put(jnp.asarray(rgb, jnp.bfloat16))
             d_lidar = jax.device_put(jnp.asarray(lidar, jnp.bfloat16))
-            out = engine._forward(d_rgb, d_lidar)
-            jax.block_until_ready(out)
-            t1 = _time.perf_counter()
-            for _ in range(steps):
-                out = engine._forward(d_rgb, d_lidar)
-            jax.block_until_ready(out)
-            dt_dev = _time.perf_counter() - t1
+            dt_dev = sustained_step_time(
+                engine._forward, (d_rgb, d_lidar), steps=steps) * steps
 
             rows.append({
                 "request_batch": b,

@@ -80,10 +80,31 @@ class ModelSpec:
     # block-space refine1 conv and phase concat scale with pixels). Gate
     # by output pixel count; configurable via tpu.fused_head_max_pixels.
     fused_head_max_pixels: int = 98304
+    # rows-as-batch inference lowering for large-plane batch-1 dense
+    # blocks: (1, H, W, C) is RESHAPED (free — identical element order) to
+    # (H, 1, W, C) so the sublane tile fills with W instead of the empty
+    # batch dim, and each 3x3 conv becomes three row-shifted 1x3 convs
+    # (identical taps). XLA's layout assignment for the in-graph b1
+    # full-res blocks runs them 3.6x slower than the same block isolated
+    # (12.6 vs 3.5 ms, r3 profile); rows sidesteps that. Comma-separated
+    # 1-based block indices, or 'auto' (blocks whose plane exceeds
+    # rows_min_pixels at batch 1).
+    rows_blocks: str = "auto"
+    rows_min_pixels: int = 16384
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
         return impls[i].strip() if i < len(impls) else impls[-1].strip()
+
+    def rows_for_block(self, i: int) -> bool:
+        """Whether 1-based block ``i`` opts into the rows-as-batch lowering
+        (still gated at call time on batch==1 / eval / plane size)."""
+        sel = self.rows_blocks.strip().lower()
+        if not sel or sel == "none":
+            return False
+        if sel == "auto":
+            return True  # per-plane pixel gate applies at call time
+        return str(i) in {s.strip() for s in sel.split(",")}
 
     @classmethod
     def from_config(cls, config, **overrides):
@@ -110,6 +131,8 @@ class ModelSpec:
             kwargs["s2d_stem"] = bool(tpu.get("s2d_stem", False))
             kwargs["fused_head_max_pixels"] = int(
                 tpu.get("fused_head_max_pixels", 98304))
+            kwargs["rows_blocks"] = str(tpu.get("rows_blocks", "auto"))
+            kwargs["rows_min_pixels"] = int(tpu.get("rows_min_pixels", 16384))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -181,6 +204,35 @@ def _avgpool_2x2_s2(x):
     ).astype(x.dtype)
 
 
+def _rows_conv3x3(y, w):
+    """3x3 conv on a rows-as-batch tensor ``y: (H, 1, W, Cin)``.
+
+    Exact decomposition: ``out[h] = c0[h-1] + c1[h] + c2[h+1]`` where
+    ``c_dy`` is the 1x3 conv of every row with kernel tap row ``dy`` —
+    identical taps and zero-padding semantics to the standard conv
+    (numerically pinned by tests and tools/micro_block_layout.py).
+    """
+    def c(ws):
+        return lax.conv_general_dilated(
+            y, ws, (1, 1), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    c0, c1, c2 = c(w[0:1]), c(w[1:2]), c(w[2:3])
+    z = jnp.zeros_like(c1[:1])
+    return (jnp.concatenate([z, c0[:-1]], axis=0) + c1
+            + jnp.concatenate([c2[1:], z], axis=0))
+
+
+def _avgpool_2x2_s2_rows(x):
+    """2x2/2 avg pool on a rows-as-batch tensor ``(H, 1, W, C)`` ->
+    ``(H/2, 1, W/2, C)``: the H-pair merge is a free reshape into a
+    spatial dim of size 2, then one VALID reduce_window."""
+    h, _, w, c = x.shape
+    x = x.reshape(h // 2, 2, w, c)
+    x = lax.reduce_window(x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    return (x / 4.0).astype(x.dtype).reshape(h // 2, 1, w // 2, c)
+
+
 def _nearest_upsample_2x(x):
     # single broadcast + reshape: one materialization of the 2x tensor
     # (chained jnp.repeat writes the H-doubled intermediate too — profiled
@@ -198,6 +250,7 @@ class DenseLayer(nn.Module):
     bn_size: int
     drop_rate: float
     dtype: Any
+    rows: bool = False  # input is rows-as-batch (H, 1, W, C); eval only
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -209,10 +262,15 @@ class DenseLayer(nn.Module):
         )(y)
         y = TorchBatchNorm(use_running_average=not train, name="norm2", dtype=self.dtype)(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        conv2 = nn.Conv(
             self.growth_rate, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
             kernel_init=_CONV_INIT, name="conv2", dtype=self.dtype,
-        )(y)
+        )
+        if self.rows and not self.is_initializing():
+            w2 = self.variables["params"]["conv2"]["kernel"]
+            y = _rows_conv3x3(y, w2.astype(self.dtype))
+        else:
+            y = conv2(y)
         if self.drop_rate > 0:
             y = nn.Dropout(rate=self.drop_rate, deterministic=not train)(y)
         return y
@@ -238,12 +296,34 @@ class DenseBlock(nn.Module):
     dtype: Any
     remat: bool = False
     impl: str = "concat"
+    rows: bool = False           # opt-in rows-as-batch lowering (see spec)
+    rows_min_pixels: int = 16384
 
     @nn.compact
     def __call__(self, x, train: bool):
         layer_cls = DenseLayer
         if self.remat:
             layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
+
+        rows = (
+            self.rows and not train and not self.is_initializing()
+            and x.shape[0] == 1 and self.drop_rate == 0
+            and x.shape[1] * x.shape[2] >= self.rows_min_pixels
+        )
+        if rows:
+            # free relabel: (1, H, W, C) and (H, 1, W, C) have identical
+            # element order, so W (not the empty batch dim) fills the
+            # sublane tile; 3x3 convs decompose per _rows_conv3x3
+            h, w = x.shape[1], x.shape[2]
+            feats = x.reshape(h, 1, w, x.shape[-1])
+            for i in range(self.num_layers):
+                new = DenseLayer(
+                    growth_rate=self.growth_rate, bn_size=self.bn_size,
+                    drop_rate=self.drop_rate, dtype=self.dtype, rows=True,
+                    name=f"denselayer{i + 1}",
+                )(feats, train)
+                feats = jnp.concatenate([feats, new], axis=-1)
+            return feats.reshape(1, h, w, feats.shape[-1])
 
         # impl is numerically identical either way, so pick per mode: the
         # 'buffer' lowering wins at inference for the late blocks (their
@@ -343,15 +423,28 @@ class Transition(nn.Module):
 
     num_output_features: int
     dtype: Any
+    rows: bool = False
+    rows_min_pixels: int = 16384
 
     @nn.compact
     def __call__(self, x, train: bool):
+        rows = (
+            self.rows and not train and not self.is_initializing()
+            and x.shape[0] == 1 and x.shape[1] % 2 == 0
+            and x.shape[1] * x.shape[2] >= self.rows_min_pixels
+        )
+        h, w = x.shape[1], x.shape[2]
+        if rows:
+            x = x.reshape(h, 1, w, x.shape[-1])
         x = TorchBatchNorm(use_running_average=not train, name="norm", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.num_output_features, (1, 1), use_bias=False,
             kernel_init=_CONV_INIT, name="conv", dtype=self.dtype,
         )(x)
+        if rows:
+            return _avgpool_2x2_s2_rows(x).reshape(
+                1, h // 2, w // 2, self.num_output_features)
         return _avgpool_2x2_s2(x)
 
 
@@ -448,6 +541,8 @@ class Encoder(nn.Module):
                 dtype=spec.dtype,
                 remat=spec.remat,
                 impl=spec.impl_for_block(i),
+                rows=spec.rows_for_block(i + 1),
+                rows_min_pixels=spec.rows_min_pixels,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -455,7 +550,10 @@ class Encoder(nn.Module):
                 skips.append(x)
                 shapes.append((x.shape[1], x.shape[2]))
             if i != len(spec.block_config) - 1:
-                x = Transition(num_features // 2, spec.dtype, name=f"transition{i + 1}")(x, train)
+                x = Transition(num_features // 2, spec.dtype,
+                               rows=spec.rows_for_block(i + 1),
+                               rows_min_pixels=spec.rows_min_pixels,
+                               name=f"transition{i + 1}")(x, train)
                 num_features //= 2
         return x, skips, shapes
 
@@ -620,9 +718,13 @@ class Head(nn.Module):
             params = self.variables["params"]
             # refine1 lowering: shifted-slice convs stay fused and win at
             # the working resolution; above ~100k output pixels the single
-            # masked 4x4-conv form avoids four full-plane slice reads
-            refine1_impl = (
-                "single" if raw.shape[1] * raw.shape[2] > 98304 else "slices"
+            # masked 4x4-conv form avoids four full-plane slice reads, and
+            # at batch 1 the rows-as-batch whole-head form additionally
+            # sidesteps XLA's pathological b1 layouts (19.4 -> measured in
+            # BASELINE.md r3)
+            big = raw.shape[1] * raw.shape[2] > 98304
+            refine1_impl = "slices" if not big else (
+                "rows" if raw.shape[0] == 1 else "single"
             )
             return phase_space_head(
                 x_lo.astype(self.dtype), raw.astype(self.dtype),
@@ -796,13 +898,18 @@ class DenseUNetLidar(nn.Module):
                 dtype=spec.dtype,
                 remat=spec.remat,
                 impl=spec.impl_for_block(i),
+                rows=spec.rows_for_block(i + 1),
+                rows_min_pixels=spec.rows_min_pixels,
                 name=f"features_denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
             if i < len(spec.block_config) - 1:
                 skips.append(x)
                 shapes.append((x.shape[1], x.shape[2]))
-                x = Transition(num_features // 2, spec.dtype, name=f"features_transition{i + 1}")(
+                x = Transition(num_features // 2, spec.dtype,
+                               rows=spec.rows_for_block(i + 1),
+                               rows_min_pixels=spec.rows_min_pixels,
+                               name=f"features_transition{i + 1}")(
                     x, train
                 )
                 num_features //= 2

@@ -356,6 +356,98 @@ def phase_head_refine1_single(P, g1, b1, w1p, dt, hh, hw, c_mid):
     return depth_to_space_2x(out12)
 
 
+def phase_space_head_rows(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt):
+    """Batch-1 rows-as-batch lowering of the phase-space head.
+
+    Identical math to :func:`phase_space_head` with ``refine1_impl='single'``
+    (same folded weights, same masks, same taps), with every plane RESHAPED
+    (free at batch 1 — identical element order) to ``(H, 1, W, C)`` so the
+    sublane tile fills with W instead of the empty batch dim, and the 2x2 /
+    4x4 convs decomposed into row-shifted 1x2 / 1x4 convs. XLA's b1 layout
+    assignment runs the standard form at ~7 TF/s (19.4 ms of the 1280x1920
+    step, r3 profile); this form sidesteps it the same way the encoder's
+    rows dense blocks do.
+    """
+    c_up = x_lo.shape[-1]
+    raw_ch = raw.shape[-1]
+    c_mid = w0p.shape[-1] // 4
+    n_cls = w1p.shape[-1] // 4
+    hh, hw = x_lo.shape[1], x_lo.shape[2]
+    H, W = raw.shape[1], raw.shape[2]
+
+    # BN0 + ReLU, rows form
+    a = x_lo.reshape(hh, 1, hw, c_up)
+    a = jnp.maximum(a * g0[:c_up].astype(dt) + b0[:c_up].astype(dt), 0).astype(dt)
+    rn = raw.reshape(H, 1, W, raw_ch)
+    rn = jnp.maximum(rn * g0[c_up:].astype(dt) + b0[c_up:].astype(dt), 0).astype(dt)
+
+    # space-to-depth in rows form: the W-merge and the H-pair split are
+    # free reshapes; even/odd rows become CONTIGUOUS unit slices of the
+    # pair dim (a stride-2 batch slice was measured ~1 ms each here)
+    rw = rn.reshape(H // 2, 2, W // 2, 2 * raw_ch)
+    rs2d = jnp.concatenate([rw[:, 0:1], rw[:, 1:2]], axis=-1)  # (hh, 1, hw, 4rc)
+
+    src = jnp.concatenate([a, rs2d], axis=-1)                 # (hh, 1, hw, c_up+4rc)
+
+    # conv0: 2x2 pad(1,1) -> (hh+1, hw+1) grid == two row-shifted 1x2 convs
+    def c1x2(r):
+        return jax.lax.conv_general_dilated(
+            src, w0p[r:r + 1].astype(dt), (1, 1), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))       # (hh, 1, hw+1, 4c)
+
+    c0, c1 = c1x2(0), c1x2(1)
+
+    # one elementwise pass: P assembly (pad + add), BN1 fold + ReLU in the
+    # COMPUTE dtype (the plain path's TorchBatchNorm eval semantics), and
+    # the per-phase border masks as MULTIPLICATIVE row/col broadcasts
+    # (group (pu, pv) zeroes grid row hh*(1-pu) + 0*pu and col likewise) —
+    # the where-over-a-5D-reshape form cost 4.1 ms/step of select +
+    # broadcast + reshape at 1280x1920 (r3 profile)
+    h1, w1_ = hh + 1, hw + 1
+    g4 = jnp.tile(g1, 4).astype(dt)
+    b4 = jnp.tile(b1, 4).astype(dt)
+    hh_idx = jnp.arange(h1)
+    ww_idx = jnp.arange(w1_)
+    pu = (jnp.arange(4 * c_mid) // (2 * c_mid))               # 0,0,1,1 groups
+    pv = (jnp.arange(4 * c_mid) // c_mid) % 2                 # 0,1,0,1 groups
+    rm = jnp.where(pu[None, :] == 0, hh_idx[:, None] < hh,
+                   hh_idx[:, None] >= 1).astype(dt)           # (H1, 4c)
+    cm = jnp.where(pv[None, :] == 0, ww_idx[:, None] < hw,
+                   ww_idx[:, None] >= 1).astype(dt)           # (W1, 4c)
+    P = (jnp.pad(c0, ((1, 0), (0, 0), (0, 0), (0, 0)))
+         + jnp.pad(c1, ((0, 1), (0, 0), (0, 0), (0, 0))))     # (hh+1, 1, hw+1, 4c)
+    pn = (jnp.maximum(P * g4 + b4, 0)
+          * rm[:, None, None, :] * cm[None, None, :, :])
+
+    # refine1: structured 4x4 conv pad(1,1) == four row-shifted 1x4 convs
+    w4 = jnp.zeros((4, 4, 4 * c_mid, 4 * n_cls), w1p.dtype)
+    for pu in (0, 1):
+        for pv in (0, 1):
+            p = 2 * pu + pv
+            ch = slice(p * c_mid, (p + 1) * c_mid)
+            w4 = w4.at[pu:pu + 3, pv:pv + 3, ch, :].set(w1p[:, :, ch, :])
+
+    def c1x4(r):
+        return jax.lax.conv_general_dilated(
+            pn, w4[r:r + 1].astype(dt), (1, 1), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))       # (h1, 1, hw, 4n)
+
+    # out[i] = sum_r c_r[i + r - 1], i in [0, hh-1]
+    c_0, c_1, c_2, c_3 = c1x4(0), c1x4(1), c1x4(2), c1x4(3)
+    z1 = jnp.zeros_like(c_0[:1])
+    out12 = (jnp.concatenate([z1, c_0[:hh - 1]], axis=0)
+             + c_1[:hh]
+             + c_2[1:hh + 1]
+             + jnp.concatenate([c_3[2:], z1], axis=0))        # (hh, 1, hw, 4n)
+
+    # depth-to-space of the tiny logits tensor, rows form
+    even, odd = out12[..., :2 * n_cls], out12[..., 2 * n_cls:]
+    y = jnp.concatenate([even, odd], axis=1)                  # (hh, 2, hw, 2n)
+    y = y.reshape(2 * hh, 1, hw, 2 * n_cls)                   # rows interleave
+    y = y.reshape(2 * hh, 1, 2 * hw, n_cls)                   # W split (free)
+    return y.reshape(1, 2 * hh, 2 * hw, n_cls)
+
+
 def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
                      norm1, norm1_stats, refine1_kernel, eps=1e-5,
                      refine1_impl="slices"):
@@ -366,9 +458,11 @@ def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
       raw: ``(B, H, W, raw_ch)`` raw input skip.
       norm0/norm1: dicts with ``scale``/``bias``; *_stats with ``mean``/``var``.
       refine1_impl: ``"slices"`` (four shifted-slice convs — wins at small
-        planes where the slices stay fused) or ``"single"`` (one structured
+        planes where the slices stay fused), ``"single"`` (one structured
         4x4 conv over the masked window grid — see
-        :func:`phase_head_refine1_single`).
+        :func:`phase_head_refine1_single`), or ``"rows"`` (batch-1
+        rows-as-batch lowering of the WHOLE head — see
+        :func:`phase_space_head_rows`; requires ``B == 1``).
     Returns ``(B, H, W, n_cls)`` logits — numerically the plain head's output
     (weight collapse sums in f32).
     """
@@ -384,6 +478,10 @@ def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
                       norm1_stats["mean"], norm1_stats["var"], eps)
     w0p, w1p = fold_phase_head_weights(refine0_kernel, refine1_kernel,
                                        c_up, raw_ch)
+
+    if refine1_impl == "rows":
+        return phase_space_head_rows(
+            x_lo, raw, g0=g0, b0=b0, g1=g1, b1=b1, w0p=w0p, w1p=w1p, dt=dt)
 
     # BN0 + ReLU: up stream at low res (upsample commutes), raw at full res.
     # Elementwise pass in the COMPUTE dtype with f32-folded constants —

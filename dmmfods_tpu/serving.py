@@ -105,7 +105,12 @@ class InferenceEngine:
         for b in buckets or self._buckets:
             rgb = jnp.zeros((b, h, w, self._spec.stream_1_in_channels), self._dtype)
             lidar = jnp.zeros((b, h, w, max(self._spec.stream_2_in_channels, 1)), self._dtype)
-            jax.block_until_ready(fwd(rgb, lidar))
+            # force real execution, not just dispatch: block_until_ready is
+            # a no-op for remote executions on tunneled backends (see
+            # utils/timing.py) and warm-before-swap must mean "has run"
+            from .utils.timing import force_completion
+
+            force_completion(fwd(rgb, lidar))
 
     def start(self):
         self._running = True

@@ -111,11 +111,14 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, result=None):
-        """Block on ``result`` (if given) then record elapsed seconds."""
+        """Force completion of ``result`` (if given) then record elapsed
+        seconds. Uses a scalar host fetch, not ``block_until_ready`` — the
+        latter is a no-op for remote executions on tunneled backends (see
+        utils/timing.py)."""
         if result is not None:
-            import jax
+            from .timing import force_completion
 
-            jax.block_until_ready(result)
+            force_completion(result)
         self.times.append(time.perf_counter() - self._t0)
 
     @property

@@ -104,6 +104,13 @@ def test_phase_space_head_matches_naive():
     np.testing.assert_allclose(np.asarray(out_single), np.asarray(ref),
                                atol=2e-4)
 
+    # the batch-1 rows-as-batch whole-head lowering is the same math too
+    out_rows = fused.phase_space_head(
+        x_lo[:1], raw[:1], norm0=n0, norm0_stats=s0, refine0_kernel=w0,
+        norm1=n1, norm1_stats=s1, refine1_kernel=w1, refine1_impl="rows")
+    np.testing.assert_allclose(np.asarray(out_rows), np.asarray(ref[:1]),
+                               atol=2e-4)
+
 
 def test_phase_head_train_matches_plain():
     """Training-mode phase head == the plain upsample/concat head: outputs,

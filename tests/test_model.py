@@ -383,3 +383,30 @@ def test_batchnorm_matches_torch_train_and_eval():
     np.testing.assert_allclose(
         np.asarray(mutated["batch_stats"]["var"]), tm.running_var.numpy(), atol=1e-4
     )
+
+
+def test_rows_lowering_matches_standard():
+    """The rows-as-batch b1 lowering (blocks + transitions reshaped to
+    (H, 1, W, C), 3x3 convs as three row-shifted 1x3 convs) is the same
+    math as the standard path: full-model eval parity at batch 1."""
+    spec_a = _tiny_spec(rows_blocks="none")
+    spec_b = _tiny_spec(rows_blocks="1,2", rows_min_pixels=1)
+    spec_c = _tiny_spec(rows_blocks="auto", rows_min_pixels=1)
+    mod_a, mod_b, mod_c = (DenseUNetLidar(s) for s in (spec_a, spec_b, spec_c))
+    rgb = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 96, 1))
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    out_a = mod_a.apply(variables, rgb, lidar, False)
+    out_b = mod_b.apply(variables, rgb, lidar, False)
+    out_c = mod_c.apply(variables, rgb, lidar, False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_c),
+                               rtol=1e-4, atol=1e-4)
+    # batch > 1 and train mode are unaffected (the lowering is gated off)
+    rgb2 = jnp.concatenate([rgb, rgb], 0)
+    lidar2 = jnp.concatenate([lidar, lidar], 0)
+    out_a2 = mod_a.apply(variables, rgb2, lidar2, False)
+    out_c2 = mod_c.apply(variables, rgb2, lidar2, False)
+    np.testing.assert_allclose(np.asarray(out_a2), np.asarray(out_c2),
+                               rtol=1e-6, atol=1e-6)

@@ -101,7 +101,7 @@ def trace_and_attribute(fn, args, steps=3, top=28):
 
 
 def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
-                  h=1280, w=1920, arch="121", s2d=False):
+                  h=1280, w=1920, arch="121", s2d=False, rows="none"):
     import jax
     import jax.numpy as jnp
 
@@ -119,6 +119,7 @@ def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
     cfg.tpu.fused_head_max_pixels = gate
     cfg.tpu.remat = remat
     cfg.tpu.s2d_stem = s2d
+    cfg.tpu.rows_blocks = rows
     if impl:
         cfg.tpu.dense_block_impl = impl
     ctor = densenet201_u_lidar if arch == "201" else densenet121_u_lidar
@@ -173,31 +174,27 @@ def main():
     p.add_argument("--gate", type=int, default=98304)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--s2d", action="store_true")
+    p.add_argument("--rows", default="none")
     args = p.parse_args()
 
     if args.config == "3":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
-            batch=args.batch or 1, s2d=args.s2d)
+            batch=args.batch or 1, s2d=args.s2d, rows=args.rows)
     elif args.config == "headline":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
-            batch=args.batch or 256, h=128, w=192, s2d=args.s2d)
+            batch=args.batch or 256, h=128, w=192, s2d=args.s2d,
+            rows=args.rows)
     elif args.config == "train":
         fn, fargs = build_train(batch=args.batch or 128)
     else:
         raise SystemExit(f"unknown --config {args.config}")
 
     # timing first (sustained)
-    import jax
-    out = fn(*fargs)
-    jax.block_until_ready(out)
-    n = 10
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*fargs)
-    jax.block_until_ready(out)
-    print(f"sustained step: {(time.perf_counter() - t0) / n * 1e3:.2f} ms")
+    from tools._timing import device_time
+    sus, _ = device_time(fn, fargs, 10)
+    print(f"sustained step: {sus * 1e3:.2f} ms")
 
     trace_and_attribute(fn, fargs, steps=args.steps)
 

@@ -22,26 +22,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(s2d=False, gate=98304, impl=None, batch=1, steps=20):
+def measure(s2d=False, gate=98304, impl=None, batch=1, steps=20,
+            rows="none"):
     import jax
 
     from tools.profile_attribution import build_fullres
 
+    from tools._timing import device_time
+
     fn, fargs = build_fullres(impl=impl, fused=True, gate=gate, batch=batch,
-                              s2d=s2d)
+                              s2d=s2d, rows=rows)
+    # forced-completion sustained timing (block_until_ready is a no-op on
+    # the tunneled backend — see dmmfods_tpu/utils/timing.py)
+    sus, _ = device_time(fn, fargs, steps)
+    # cross-check: per-call forced completion (includes the tunnel round trip)
     out = fn(*fargs)
-    jax.block_until_ready(out)
-    # sustained: back-to-back dispatch, block once
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*fargs)
-    jax.block_until_ready(out)
-    sus = (time.perf_counter() - t0) / steps
-    # cross-check: per-step blocking (catches dispatches that overlap in a
-    # way the async loop mis-attributes; includes the ~tunnel round trip)
     t0 = time.perf_counter()
     for _ in range(max(steps // 2, 3)):
-        jax.block_until_ready(fn(*fargs))
+        _, _ = device_time(fn, fargs, 1), None
     sync = (time.perf_counter() - t0) / max(steps // 2, 3)
     # sanity: finite output, full materialization
     full = np.asarray(out, np.float32)
@@ -60,10 +58,14 @@ def main():
         s2d = "s2d" in parts
         gate = 3000000 if "phase" in parts else 98304
         impl = None
+        rows = "none"
         for part in parts:
             if part.startswith("impl="):
                 impl = part[5:]
-        sus, sync = measure(s2d=s2d, gate=gate, impl=impl, steps=args.steps)
+            if part.startswith("rows="):
+                rows = part[5:]
+        sus, sync = measure(s2d=s2d, gate=gate, impl=impl, steps=args.steps,
+                            rows=rows)
         print(f"variant={variant:<40} sustained {sus * 1e3:7.1f} ms "
               f"(sync {sync * 1e3:7.1f} ms) {1.0 / sus:6.1f} frames/s",
               flush=True)

@@ -58,12 +58,12 @@ def measure(impl, batch, h=128, w=192, steps=10):
         return lax.scan(body, s, None, length=steps)
 
     state2, losses = many(state)  # compile
-    jax.block_until_ready(losses)
+    np.asarray(losses)  # force completion (block_until_ready is a no-op
+    # for remote executions on the tunneled backend — utils/timing.py)
     t0 = time.perf_counter()
     _, losses = many(state)
-    jax.block_until_ready(losses)
+    loss = float(np.asarray(losses)[-1])
     dt = (time.perf_counter() - t0) / steps
-    loss = float(losses[-1])
     del state, state2, step, bundle
     return dt, loss
 
