@@ -378,14 +378,18 @@ def phase_space_head_rows(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt):
     # BN0 + ReLU, rows form
     a = x_lo.reshape(hh, 1, hw, c_up)
     a = jnp.maximum(a * g0[:c_up].astype(dt) + b0[:c_up].astype(dt), 0).astype(dt)
-    rn = raw.reshape(H, 1, W, raw_ch)
-    rn = jnp.maximum(rn * g0[c_up:].astype(dt) + b0[c_up:].astype(dt), 0).astype(dt)
 
-    # space-to-depth in rows form: the W-merge and the H-pair split are
-    # free reshapes; even/odd rows become CONTIGUOUS unit slices of the
-    # pair dim (a stride-2 batch slice was measured ~1 ms each here)
-    rw = rn.reshape(H // 2, 2, W // 2, 2 * raw_ch)
+    # space-to-depth FIRST (pure reshapes + unit slices of the pair dims),
+    # BN0+ReLU after, on the 16-channel s2d form with phase-tiled scale/
+    # bias (s2d is a channel permutation; BN is per-channel, so the fold
+    # commutes). Running the elementwise pass on the 4-channel full-res
+    # plane paid the 128-lane padding 4x over (r3 profile: the head's
+    # reshape/max ops around the raw stream).
+    rw = raw.reshape(H // 2, 2, W // 2, 2 * raw_ch)
     rs2d = jnp.concatenate([rw[:, 0:1], rw[:, 1:2]], axis=-1)  # (hh, 1, hw, 4rc)
+    g0r = jnp.tile(g0[c_up:], 4).astype(dt)
+    b0r = jnp.tile(b0[c_up:], 4).astype(dt)
+    rs2d = jnp.maximum(rs2d * g0r + b0r, 0).astype(dt)
 
     src = jnp.concatenate([a, rs2d], axis=-1)                 # (hh, 1, hw, c_up+4rc)
 
