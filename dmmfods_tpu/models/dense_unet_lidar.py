@@ -72,14 +72,16 @@ class ModelSpec:
     # own but leaves the late blocks' as full concatenates)
     dense_block_impl: str = "concat"
     # lower the stems' 7x7-s2 convs over a 2x space-to-depth (see
-    # EncoderStem) — wins at large resolution, no effect needed at 128x192
-    s2d_stem: bool = False
-    # phase-space head pays off when the full-res plane is small (the
-    # working-resolution regime it was built for): measured v5e b256
-    # 128x192 40.7 -> 35.3 ms, but b1 1280x1920 78.3 -> 87.5 ms (the
-    # block-space refine1 conv and phase concat scale with pixels). Gate
-    # by output pixel count; configurable via tpu.fused_head_max_pixels.
-    fused_head_max_pixels: int = 98304
+    # EncoderStem) — wins at large resolution, no effect needed at
+    # 128x192. 'auto' (default): on when the input plane is >= 512x512.
+    s2d_stem: Any = "auto"
+    # phase-space head refine1 lowering is plane-size dependent (see Head):
+    # shifted-slice convs below this pixel count, the single masked
+    # 4x4-conv / rows-as-batch forms above it. The r2-era hard gate that
+    # DISABLED the head above 98k pixels predates those large-plane
+    # lowerings (b1 1280x1920 measured 100.7 -> 74.0 ms with the head ON,
+    # r3); the default is now effectively ungated.
+    fused_head_max_pixels: int = 1 << 62
     # rows-as-batch inference lowering for large-plane batch-1 dense
     # blocks: (1, H, W, C) is RESHAPED (free — identical element order) to
     # (H, 1, W, C) so the sublane tile fills with W instead of the empty
@@ -128,9 +130,10 @@ class ModelSpec:
             kwargs["remat"] = bool(tpu.get("remat", False))
             kwargs["use_fused_kernels"] = bool(tpu.get("use_fused_kernels", False))
             kwargs["dense_block_impl"] = tpu.get("dense_block_impl", "concat")
-            kwargs["s2d_stem"] = bool(tpu.get("s2d_stem", False))
+            s2d = tpu.get("s2d_stem", "auto")
+            kwargs["s2d_stem"] = s2d if s2d == "auto" else bool(s2d)
             kwargs["fused_head_max_pixels"] = int(
-                tpu.get("fused_head_max_pixels", 98304))
+                tpu.get("fused_head_max_pixels", 1 << 62))
             kwargs["rows_blocks"] = str(tpu.get("rows_blocks", "auto"))
             kwargs["rows_min_pixels"] = int(tpu.get("rows_min_pixels", 16384))
         kwargs.update(overrides)
@@ -462,7 +465,7 @@ class EncoderStem(nn.Module):
 
     num_init_features: int
     dtype: Any
-    s2d: bool = False
+    s2d: Any = "auto"  # True | False | 'auto' (on when plane >= 512x512)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -470,7 +473,9 @@ class EncoderStem(nn.Module):
             self.num_init_features, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, kernel_init=_CONV_INIT, name="conv0", dtype=self.dtype,
         )
-        if (self.s2d and not self.is_initializing()
+        use_s2d = (self.s2d is True or (
+            self.s2d == "auto" and x.shape[1] * x.shape[2] >= 262144))
+        if (use_s2d and not self.is_initializing()
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             from ..ops.fused import space_to_depth_2x
 
