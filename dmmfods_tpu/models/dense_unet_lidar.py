@@ -92,7 +92,19 @@ class ModelSpec:
     # 1-based block indices, or 'auto' (blocks whose plane exceeds
     # rows_min_pixels at batch 1).
     rows_blocks: str = "auto"
+    # Two measured win regimes (v5e, r3), with a catastrophic middle:
+    # big planes (>= rows_min_pixels: the b1 full-res blocks 1-2, 38k-153k
+    # px — 2x) and small planes (<= rows_small_max_pixels: ALL blocks at
+    # the 128x192 working resolution, 96-1536 px — 1.2-2.5x at b1-b16).
+    # Mid-size planes (e.g. full-res block3, 9600 px) measured a 240x
+    # REGRESSION in rows and must stay excluded.
     rows_min_pixels: int = 16384
+    rows_small_max_pixels: int = 2048
+    # rows-as-batch also generalizes to B > 1 — (B, H, W, C) -> (B*H, 1,
+    # W, C) is equally free, with per-sample boundary masks on the row
+    # shifts (exact; tested). Applied when batch <= rows_max_batch
+    # (measured wins through b16 at 128x192; b256 untested and excluded).
+    rows_max_batch: int = 16
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -136,6 +148,9 @@ class ModelSpec:
                 tpu.get("fused_head_max_pixels", 1 << 62))
             kwargs["rows_blocks"] = str(tpu.get("rows_blocks", "auto"))
             kwargs["rows_min_pixels"] = int(tpu.get("rows_min_pixels", 16384))
+            kwargs["rows_small_max_pixels"] = int(
+                tpu.get("rows_small_max_pixels", 2048))
+            kwargs["rows_max_batch"] = int(tpu.get("rows_max_batch", 16))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -207,13 +222,19 @@ def _avgpool_2x2_s2(x):
     ).astype(x.dtype)
 
 
-def _rows_conv3x3(y, w):
-    """3x3 conv on a rows-as-batch tensor ``y: (H, 1, W, Cin)``.
+def _rows_conv3x3(y, w, boundary_every: int = 0):
+    """3x3 conv on a rows-as-batch tensor ``y: (B*H, 1, W, Cin)``.
 
     Exact decomposition: ``out[h] = c0[h-1] + c1[h] + c2[h+1]`` where
     ``c_dy`` is the 1x3 conv of every row with kernel tap row ``dy`` —
     identical taps and zero-padding semantics to the standard conv
     (numerically pinned by tests and tools/micro_block_layout.py).
+
+    ``boundary_every``: sample height H when the row-batch packs B > 1
+    samples — the shifted terms must not read across sample boundaries,
+    so rows at sample starts/ends are zeroed with multiplicative masks
+    (they fuse into the adds). 0 = single sample (the pad rows already
+    zero the only boundary).
     """
     def c(ws):
         return lax.conv_general_dilated(
@@ -222,8 +243,15 @@ def _rows_conv3x3(y, w):
 
     c0, c1, c2 = c(w[0:1]), c(w[1:2]), c(w[2:3])
     z = jnp.zeros_like(c1[:1])
-    return (jnp.concatenate([z, c0[:-1]], axis=0) + c1
-            + jnp.concatenate([c2[1:], z], axis=0))
+    top = jnp.concatenate([z, c0[:-1]], axis=0)
+    bot = jnp.concatenate([c2[1:], z], axis=0)
+    if boundary_every:
+        idx = jnp.arange(y.shape[0]) % boundary_every
+        mt = (idx != 0).astype(y.dtype)[:, None, None, None]
+        mb = (idx != boundary_every - 1).astype(y.dtype)[:, None, None, None]
+        top = top * mt
+        bot = bot * mb
+    return top + c1 + bot
 
 
 def _avgpool_2x2_s2_rows(x):
@@ -253,7 +281,8 @@ class DenseLayer(nn.Module):
     bn_size: int
     drop_rate: float
     dtype: Any
-    rows: bool = False  # input is rows-as-batch (H, 1, W, C); eval only
+    rows: bool = False        # input is rows-as-batch (B*H, 1, W, C); eval only
+    rows_boundary: int = 0    # sample height H when B > 1 (see _rows_conv3x3)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -271,7 +300,7 @@ class DenseLayer(nn.Module):
         )
         if self.rows and not self.is_initializing():
             w2 = self.variables["params"]["conv2"]["kernel"]
-            y = _rows_conv3x3(y, w2.astype(self.dtype))
+            y = _rows_conv3x3(y, w2.astype(self.dtype), self.rows_boundary)
         else:
             y = conv2(y)
         if self.drop_rate > 0:
@@ -301,6 +330,8 @@ class DenseBlock(nn.Module):
     impl: str = "concat"
     rows: bool = False           # opt-in rows-as-batch lowering (see spec)
     rows_min_pixels: int = 16384
+    rows_small_max_pixels: int = 2048
+    rows_max_batch: int = 16
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -308,25 +339,29 @@ class DenseBlock(nn.Module):
         if self.remat:
             layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
 
+        px = x.shape[1] * x.shape[2]
         rows = (
             self.rows and not train and not self.is_initializing()
-            and x.shape[0] == 1 and self.drop_rate == 0
-            and x.shape[1] * x.shape[2] >= self.rows_min_pixels
+            and x.shape[0] <= self.rows_max_batch and self.drop_rate == 0
+            and (px >= self.rows_min_pixels
+                 or px <= self.rows_small_max_pixels)
         )
         if rows:
-            # free relabel: (1, H, W, C) and (H, 1, W, C) have identical
-            # element order, so W (not the empty batch dim) fills the
-            # sublane tile; 3x3 convs decompose per _rows_conv3x3
-            h, w = x.shape[1], x.shape[2]
-            feats = x.reshape(h, 1, w, x.shape[-1])
+            # free relabel: (B, H, W, C) and (B*H, 1, W, C) have identical
+            # element order, so W (not the thin batch dim) fills the
+            # sublane tile; 3x3 convs decompose per _rows_conv3x3, with
+            # sample-boundary masks when B > 1
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            feats = x.reshape(b * h, 1, w, x.shape[-1])
             for i in range(self.num_layers):
                 new = DenseLayer(
                     growth_rate=self.growth_rate, bn_size=self.bn_size,
                     drop_rate=self.drop_rate, dtype=self.dtype, rows=True,
+                    rows_boundary=h if b > 1 else 0,
                     name=f"denselayer{i + 1}",
                 )(feats, train)
                 feats = jnp.concatenate([feats, new], axis=-1)
-            return feats.reshape(1, h, w, feats.shape[-1])
+            return feats.reshape(b, h, w, feats.shape[-1])
 
         # impl is numerically identical either way, so pick per mode: the
         # 'buffer' lowering wins at inference for the late blocks (their
@@ -428,17 +463,22 @@ class Transition(nn.Module):
     dtype: Any
     rows: bool = False
     rows_min_pixels: int = 16384
+    rows_small_max_pixels: int = 2048
+    rows_max_batch: int = 16
 
     @nn.compact
     def __call__(self, x, train: bool):
+        px = x.shape[1] * x.shape[2]
         rows = (
             self.rows and not train and not self.is_initializing()
-            and x.shape[0] == 1 and x.shape[1] % 2 == 0
-            and x.shape[1] * x.shape[2] >= self.rows_min_pixels
+            and x.shape[0] <= self.rows_max_batch and x.shape[1] % 2 == 0
+            and (px >= self.rows_min_pixels
+                 or px <= self.rows_small_max_pixels)
         )
-        h, w = x.shape[1], x.shape[2]
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
         if rows:
-            x = x.reshape(h, 1, w, x.shape[-1])
+            # pooling pairs never straddle samples (H is even)
+            x = x.reshape(b * h, 1, w, x.shape[-1])
         x = TorchBatchNorm(use_running_average=not train, name="norm", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
@@ -447,7 +487,7 @@ class Transition(nn.Module):
         )(x)
         if rows:
             return _avgpool_2x2_s2_rows(x).reshape(
-                1, h // 2, w // 2, self.num_output_features)
+                b, h // 2, w // 2, self.num_output_features)
         return _avgpool_2x2_s2(x)
 
 
@@ -548,6 +588,8 @@ class Encoder(nn.Module):
                 impl=spec.impl_for_block(i),
                 rows=spec.rows_for_block(i + 1),
                 rows_min_pixels=spec.rows_min_pixels,
+                rows_small_max_pixels=spec.rows_small_max_pixels,
+                rows_max_batch=spec.rows_max_batch,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -558,6 +600,8 @@ class Encoder(nn.Module):
                 x = Transition(num_features // 2, spec.dtype,
                                rows=spec.rows_for_block(i + 1),
                                rows_min_pixels=spec.rows_min_pixels,
+                               rows_small_max_pixels=spec.rows_small_max_pixels,
+                               rows_max_batch=spec.rows_max_batch,
                                name=f"transition{i + 1}")(x, train)
                 num_features //= 2
         return x, skips, shapes
@@ -905,6 +949,8 @@ class DenseUNetLidar(nn.Module):
                 impl=spec.impl_for_block(i),
                 rows=spec.rows_for_block(i + 1),
                 rows_min_pixels=spec.rows_min_pixels,
+                rows_small_max_pixels=spec.rows_small_max_pixels,
+                rows_max_batch=spec.rows_max_batch,
                 name=f"features_denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -914,6 +960,8 @@ class DenseUNetLidar(nn.Module):
                 x = Transition(num_features // 2, spec.dtype,
                                rows=spec.rows_for_block(i + 1),
                                rows_min_pixels=spec.rows_min_pixels,
+                               rows_small_max_pixels=spec.rows_small_max_pixels,
+                               rows_max_batch=spec.rows_max_batch,
                                name=f"features_transition{i + 1}")(
                     x, train
                 )

@@ -75,19 +75,88 @@ def sustained_step_time(fn: Callable, args: Tuple[Any, ...], steps: int = 20,
                         warmup: int = 1) -> float:
     """Per-step device time of ``fn(*args)`` driven back-to-back.
 
-    Dispatches ``steps`` executions without intermediate synchronization
-    (the way a pipelined loop drives the chip), forces completion of the
-    last, and subtracts the measured one-scalar fetch overhead.
+    DIFFERENTIAL method: time a short run (N1 steps + one forced fetch)
+    and a long run (N2 steps + one forced fetch) and divide the
+    difference by N2 - N1 — the tunnel round trip appears exactly once in
+    each and cancels. A subtract-one-measured-RTT scheme left +-2 ms of
+    noise per step at small step times (the RTT varies 30-80 ms between
+    samples); the differential reduces that by ~N2/sqrt(2).
+
+    The long run is sized so the measured device time dominates the RTT
+    noise (at least ~1 s of work or 4x ``steps``, whichever is larger).
     """
     out = fn(*args)
     for _ in range(max(warmup - 1, 0)):
         out = fn(*args)
-    rt = fetch_overhead(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
     force_completion(out)
-    return max(time.perf_counter() - t0 - rt, 1e-9) / steps
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        force_completion(out)
+        return time.perf_counter() - t0
+
+    n1 = max(steps // 4, 1)
+    t1 = run(n1)
+    rough = t1 / n1  # includes one RTT spread over n1 — an overestimate
+    # size the long run: >= steps, and ~1 s of device work, capped at 400
+    n2 = int(max(steps, min(1.0 / max(rough, 1e-5), 400)))
+    if n2 <= n1:
+        n2 = n1 + max(n1, 1)
+    t2 = run(n2)
+    return max(t2 - t1, 1e-9) / (n2 - n1)
+
+
+def scanned_step_time(forward: Callable, args: Tuple[Any, ...],
+                      steps: int = 400, perturb_index: int = -1) -> float:
+    """Per-step device time with ``steps`` executions chained inside ONE
+    dispatch (``lax.scan``), for workloads too fast for dispatch loops.
+
+    On the tunneled backend each dispatch costs ~1-3 ms of host RPC, so a
+    dispatch-per-step loop is HOST-bound below ~3 ms/step and measures
+    nothing. Here the scan body's perturbed input depends on the carry
+    (``x + c * 1e-30`` — numerically a no-op, but not foldable), so XLA
+    cannot hoist the loop body; differential timing over two scan lengths
+    cancels the single round trip.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    args = tuple(args)
+    if perturb_index < 0:
+        perturb_index = next(
+            i for i, a in enumerate(args) if hasattr(a, "dtype"))
+
+    def make(n):
+        def body(c, _):
+            a = list(args)
+            x = a[perturb_index]
+            a[perturb_index] = (x + (c * 1e-30).astype(x.dtype)).astype(x.dtype)
+            out = forward(*a)
+            leaf = [l for l in jax.tree_util.tree_leaves(out)
+                    if hasattr(l, "dtype")][0]
+            return jnp.ravel(leaf)[0].astype(jnp.float32), ()
+
+        @jax.jit
+        def many(c0):
+            return lax.scan(body, c0, None, length=n)[0]
+
+        return many
+
+    n1 = max(steps // 4, 1)
+    short, long_ = make(n1), make(steps)
+    c0 = jnp.zeros((), jnp.float32)
+    force_completion(short(c0))   # compile + warm
+    force_completion(long_(c0))
+    t0 = time.perf_counter()
+    force_completion(short(c0))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    force_completion(long_(c0))
+    t2 = time.perf_counter() - t0
+    return max(t2 - t1, 1e-9) / (steps - n1)
 
 
 def synchronous_step_times(fn: Callable, args: Tuple[Any, ...],

@@ -403,10 +403,33 @@ def test_rows_lowering_matches_standard():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_c),
                                rtol=1e-4, atol=1e-4)
-    # batch > 1 and train mode are unaffected (the lowering is gated off)
+    # batch > 1 now ALSO takes the rows lowering (rows_max_batch default
+    # 16) — same math, so only conv-split reassociation noise remains
     rgb2 = jnp.concatenate([rgb, rgb], 0)
     lidar2 = jnp.concatenate([lidar, lidar], 0)
     out_a2 = mod_a.apply(variables, rgb2, lidar2, False)
     out_c2 = mod_c.apply(variables, rgb2, lidar2, False)
     np.testing.assert_allclose(np.asarray(out_a2), np.asarray(out_c2),
+                               rtol=1e-4, atol=1e-4)
+    # train mode is gated off exactly
+    ta = mod_a.apply(variables, rgb2, lidar2, True, mutable=["batch_stats"])[0]
+    tc = mod_c.apply(variables, rgb2, lidar2, True, mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tc),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_rows_lowering_matches_standard_batched():
+    """B > 1 rows packing ((B, H, W, C) -> (B*H, 1, W, C) with per-sample
+    boundary masks on the row shifts) is the same math as the standard
+    path — distinct samples, so any cross-sample leak would show."""
+    spec_a = _tiny_spec(rows_blocks="none")
+    spec_b = _tiny_spec(rows_blocks="auto", rows_min_pixels=1,
+                        rows_max_batch=8)
+    mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+    rgb = jax.random.normal(jax.random.PRNGKey(5), (3, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(6), (3, 64, 96, 1))
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    out_a = mod_a.apply(variables, rgb, lidar, False)
+    out_b = mod_b.apply(variables, rgb, lidar, False)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-4)
