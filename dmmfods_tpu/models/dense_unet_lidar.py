@@ -105,6 +105,11 @@ class ModelSpec:
     # shifts (exact; tested). Applied when batch <= rows_max_batch
     # (measured wins through b16 at 128x192; b256 untested and excluded).
     rows_max_batch: int = 16
+    # experimental: allow the rows lowering in TRAINING too (BN batch
+    # stats reduce over the identical element set, the conv decomposition
+    # is exact under autodiff — pinned by tests). Off by default pending
+    # a measured win; incompatible with remat (gated off).
+    rows_train: bool = False
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -151,6 +156,7 @@ class ModelSpec:
             kwargs["rows_small_max_pixels"] = int(
                 tpu.get("rows_small_max_pixels", 2048))
             kwargs["rows_max_batch"] = int(tpu.get("rows_max_batch", 16))
+            kwargs["rows_train"] = bool(tpu.get("rows_train", False))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -332,6 +338,7 @@ class DenseBlock(nn.Module):
     rows_min_pixels: int = 16384
     rows_small_max_pixels: int = 2048
     rows_max_batch: int = 16
+    rows_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -341,7 +348,8 @@ class DenseBlock(nn.Module):
 
         px = x.shape[1] * x.shape[2]
         rows = (
-            self.rows and not train and not self.is_initializing()
+            self.rows and (not train or (self.rows_train and not self.remat))
+            and not self.is_initializing()
             and x.shape[0] <= self.rows_max_batch and self.drop_rate == 0
             and (px >= self.rows_min_pixels
                  or px <= self.rows_small_max_pixels)
@@ -465,12 +473,14 @@ class Transition(nn.Module):
     rows_min_pixels: int = 16384
     rows_small_max_pixels: int = 2048
     rows_max_batch: int = 16
+    rows_train: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
         px = x.shape[1] * x.shape[2]
         rows = (
-            self.rows and not train and not self.is_initializing()
+            self.rows and (not train or self.rows_train)
+            and not self.is_initializing()
             and x.shape[0] <= self.rows_max_batch and x.shape[1] % 2 == 0
             and (px >= self.rows_min_pixels
                  or px <= self.rows_small_max_pixels)
@@ -590,6 +600,7 @@ class Encoder(nn.Module):
                 rows_min_pixels=spec.rows_min_pixels,
                 rows_small_max_pixels=spec.rows_small_max_pixels,
                 rows_max_batch=spec.rows_max_batch,
+                rows_train=spec.rows_train,
                 name=f"denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -602,6 +613,7 @@ class Encoder(nn.Module):
                                rows_min_pixels=spec.rows_min_pixels,
                                rows_small_max_pixels=spec.rows_small_max_pixels,
                                rows_max_batch=spec.rows_max_batch,
+                               rows_train=spec.rows_train,
                                name=f"transition{i + 1}")(x, train)
                 num_features //= 2
         return x, skips, shapes
@@ -951,6 +963,7 @@ class DenseUNetLidar(nn.Module):
                 rows_min_pixels=spec.rows_min_pixels,
                 rows_small_max_pixels=spec.rows_small_max_pixels,
                 rows_max_batch=spec.rows_max_batch,
+                rows_train=spec.rows_train,
                 name=f"features_denseblock{i + 1}",
             )(x, train)
             num_features += num_layers * spec.growth_rate
@@ -962,6 +975,7 @@ class DenseUNetLidar(nn.Module):
                                rows_min_pixels=spec.rows_min_pixels,
                                rows_small_max_pixels=spec.rows_small_max_pixels,
                                rows_max_batch=spec.rows_max_batch,
+                               rows_train=spec.rows_train,
                                name=f"features_transition{i + 1}")(
                     x, train
                 )

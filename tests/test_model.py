@@ -433,3 +433,39 @@ def test_rows_lowering_matches_standard_batched():
     out_b = mod_b.apply(variables, rgb, lidar, False)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rows_train_matches_standard():
+    """Experimental train-mode rows lowering: loss, GRADIENTS and BatchNorm
+    batch-stat updates all equal the standard path (the rows reshape
+    reduces over the identical element set)."""
+    spec_a = _tiny_spec(rows_blocks="none")
+    spec_b = _tiny_spec(rows_blocks="auto", rows_min_pixels=1,
+                        rows_max_batch=8, rows_train=True)
+    mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+    rgb = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(8), (2, 64, 96, 1))
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    params, rest = variables["params"], {"batch_stats": variables["batch_stats"]}
+
+    def loss_fn(module):
+        def f(p):
+            out, upd = module.apply(
+                {"params": p, **rest}, rgb, lidar, True,
+                mutable=["batch_stats"])
+            return jnp.sum(out * out), upd["batch_stats"]
+        return f
+
+    (la, sa), ga = jax.value_and_grad(loss_fn(mod_a), has_aux=True)(params)
+    (lb, sb), gb = jax.value_and_grad(loss_fn(mod_b), has_aux=True)(params)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        # f32 reassociation through the conv split leaves ~1e-4-relative
+        # noise on O(100) gradients; atol 0.01 is still 1e-4 of scale
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-2)
+    for a, b in zip(jax.tree_util.tree_leaves(sa),
+                    jax.tree_util.tree_leaves(sb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
