@@ -92,12 +92,12 @@ class ModelSpec:
     # 1-based block indices, or 'auto' (blocks whose plane exceeds
     # rows_min_pixels at batch 1).
     rows_blocks: str = "auto"
-    # Two measured win regimes (v5e, r3), with a catastrophic middle:
-    # big planes (>= rows_min_pixels: the b1 full-res blocks 1-2, 38k-153k
-    # px — 2x) and small planes (<= rows_small_max_pixels: ALL blocks at
-    # the 128x192 working resolution, 96-1536 px — 1.2-2.5x at b1-b16).
-    # Mid-size planes (e.g. full-res block3, 9600 px) measured a 240x
-    # REGRESSION in rows and must stay excluded.
+    # Two measured win regimes (v5e, r3): big planes (>= rows_min_pixels:
+    # the b1 full-res blocks 1-2, 38k-153k px — 2x) and small planes
+    # (<= rows_small_max_pixels: ALL blocks at the 128x192 working
+    # resolution, 96-1536 px — 1.2-2.5x at b1-b16). Mid-size planes (e.g.
+    # full-res block3, 9600 px) measured neutral (41.9 vs 42.3 ms whole
+    # model) and stay excluded as unproven.
     rows_min_pixels: int = 16384
     rows_small_max_pixels: int = 2048
     # rows-as-batch also generalizes to B > 1 — (B, H, W, C) -> (B*H, 1,

@@ -137,7 +137,10 @@ def scanned_step_time(forward: Callable, args: Tuple[Any, ...],
             out = forward(*a)
             leaf = [l for l in jax.tree_util.tree_leaves(out)
                     if hasattr(l, "dtype")][0]
-            return jnp.ravel(leaf)[0].astype(jnp.float32), ()
+            # anchor on a FULL reduction: a single-element anchor lets XLA
+            # narrow/DCE the rest of the output (measured: a b1 forward
+            # "ran" in 0.131 ms — 120 TF/s at batch 1, impossible)
+            return jnp.sum(leaf.astype(jnp.float32)), ()
 
         @jax.jit
         def many(c0):
