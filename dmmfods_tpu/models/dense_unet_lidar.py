@@ -260,6 +260,25 @@ def _rows_conv3x3(y, w, boundary_every: int = 0):
     return top + c1 + bot
 
 
+def _maxpool_3x3_s2_p1_rows(x):
+    """3x3/2 max pool (pad 1) on a STANDARD ``(B, H, W, C)`` tensor,
+    lowered rows-as-batch: per-row W pooling, then a 3-row max assembled
+    from the even/odd row planes (out[i] = max(m[2i-1], m[2i], m[2i+1])).
+    Exact vs :func:`_maxpool_3x3_s2_p1` (pinned by tests)."""
+    b, h, w, c = x.shape
+    xr = x.reshape(b * h, 1, w, c)
+    m = lax.reduce_window(
+        xr, -jnp.inf, lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (0, 0)))                    # (B*H, 1, W/2, C)
+    wo = m.shape[2]
+    m = m.reshape(b, h // 2, 2, wo, c)
+    a = m[:, :, 0]                                           # rows 2i
+    bb = m[:, :, 1]                                          # rows 2i+1
+    ninf = jnp.full_like(bb[:, :1], -jnp.inf)
+    prev = jnp.concatenate([ninf, bb[:, :-1]], axis=1)       # rows 2i-1
+    return jnp.maximum(jnp.maximum(prev, a), bb)             # (B, H/2, W/2, C)
+
+
 def _avgpool_2x2_s2_rows(x):
     """2x2/2 avg pool on a rows-as-batch tensor ``(H, 1, W, C)`` ->
     ``(H/2, 1, W/2, C)``: the H-pair merge is a free reshape into a
@@ -277,6 +296,24 @@ def _nearest_upsample_2x(x):
     b, h, w, c = x.shape
     out = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
     return out.reshape(b, 2 * h, 2 * w, c)
+
+
+
+def _rows_ok(spec, batch: int, train: bool) -> bool:
+    sel = spec.rows_blocks.strip().lower()
+    return (sel not in ("", "none") and not train
+            and batch <= spec.rows_max_batch)
+
+
+def _pool0(x, spec, train: bool):
+    """pool0 dispatch: the rows lowering when eligible under the same
+    measured policy as the blocks (see ModelSpec.rows_*)."""
+    px = x.shape[1] * x.shape[2]
+    if (_rows_ok(spec, x.shape[0], train) and x.shape[1] % 2 == 0
+            and (px >= spec.rows_min_pixels
+                 or px <= spec.rows_small_max_pixels)):
+        return _maxpool_3x3_s2_p1_rows(x)
+    return _maxpool_3x3_s2_p1(x)
 
 
 class DenseLayer(nn.Module):
@@ -516,6 +553,8 @@ class EncoderStem(nn.Module):
     num_init_features: int
     dtype: Any
     s2d: Any = "auto"  # True | False | 'auto' (on when plane >= 512x512)
+    rows: bool = False       # rows-as-batch lowering of the s2d conv (eval)
+    rows_max_batch: int = 16
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -545,11 +584,42 @@ class EncoderStem(nn.Module):
                             if 0 <= dy < 7 and 0 <= dx < 7:
                                 ch = (py * 2 + px) * c
                                 w4 = w4.at[a, b, ch:ch + c, :].set(w7[dy, dx])
-            x = lax.conv_general_dilated(
-                space_to_depth_2x(x).astype(self.dtype), w4.astype(self.dtype),
-                (1, 1), ((2, 1), (2, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            w4 = w4.astype(self.dtype)
+            if (self.rows and not train
+                    and x.shape[0] <= self.rows_max_batch):
+                # rows-as-batch: s2d via H-pair reshapes + unit slices, the
+                # 4x4 conv as four row-shifted 1x4 convs (H pad (2, 1))
+                bsz, h, w = x.shape[0], x.shape[1], x.shape[2]
+                hh = h // 2
+                rw = x.astype(self.dtype).reshape(
+                    bsz * hh, 2, w // 2, 2 * c)
+                xs = jnp.concatenate([rw[:, 0:1], rw[:, 1:2]], axis=-1)
+
+                def c1x4(r):
+                    return lax.conv_general_dilated(
+                        xs, w4[r:r + 1], (1, 1), ((0, 0), (2, 1)),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+                c0, c1, c2, c3 = c1x4(0), c1x4(1), c1x4(2), c1x4(3)
+                # out[i] = sum_r c_r[i + r - 2], i in [0, hh): shifts need
+                # per-sample boundaries when B > 1 -> masks (fuse into adds)
+                z = jnp.zeros_like(c0[:1])
+                t0 = jnp.concatenate([z, z, c0[:-2]], axis=0)
+                t1 = jnp.concatenate([z, c1[:-1]], axis=0)
+                t3 = jnp.concatenate([c3[1:], z], axis=0)
+                if bsz > 1:
+                    idx = jnp.arange(bsz * hh) % hh
+                    dt_ = xs.dtype
+                    t0 = t0 * (idx >= 2).astype(dt_)[:, None, None, None]
+                    t1 = t1 * (idx >= 1).astype(dt_)[:, None, None, None]
+                    t3 = t3 * (idx != hh - 1).astype(dt_)[:, None, None, None]
+                x = (t0 + t1 + c2 + t3).reshape(bsz, hh, w // 2, f)
+            else:
+                x = lax.conv_general_dilated(
+                    space_to_depth_2x(x).astype(self.dtype), w4,
+                    (1, 1), ((2, 1), (2, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
         else:
             x = conv(x)
         x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
@@ -579,9 +649,11 @@ class Encoder(nn.Module):
     def __call__(self, x, train: bool):
         spec = self.spec
         x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
+                        rows=_rows_ok(spec, x.shape[0], train),
+                        rows_max_batch=spec.rows_max_batch,
                         name="stem")(x, train)
         shapes = [(x.shape[1], x.shape[2])]  # pre-pool0 spatial size (model:248-249)
-        x = _maxpool_3x3_s2_p1(x)
+        x = _pool0(x, spec, train)
 
         n_blocks = len(spec.block_config) if self.up_to_block is None else self.up_to_block - 1
         skips = []
@@ -672,9 +744,10 @@ class ConvTransposeToShape(nn.Module):
     pad: int = 1
 
     @nn.compact
-    def __call__(self, x, target_hw):
+    def __call__(self, x, target_hw, rows_meta=None):
         k, s, p = self.kernel_size, self.stride, self.pad
-        op_h = target_hw[0] - ((x.shape[1] - 1) * s - 2 * p + k)
+        h_in = rows_meta[1] if rows_meta is not None else x.shape[1]
+        op_h = target_hw[0] - ((h_in - 1) * s - 2 * p + k)
         op_w = target_hw[1] - ((x.shape[2] - 1) * s - 2 * p + k)
         if not (0 <= op_h < s and 0 <= op_w < s):
             raise ValueError(
@@ -691,6 +764,10 @@ class ConvTransposeToShape(nn.Module):
         # the zero work, and the interleave costs extra HBM passes. Keep the
         # single dilated conv and let the compiler schedule it.
         base = k - 1 - p
+        if rows_meta is not None:
+            return _conv_transpose_3x3_s2_rows(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                op_h, op_w, rows_meta[0], rows_meta[1])
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -700,6 +777,39 @@ class ConvTransposeToShape(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y
+
+
+def _conv_transpose_3x3_s2_rows(x_rows, kernel, op_h, op_w, b, hin):
+    """k=3, s=2, p=1 transposed conv (the ``ConvTransposeToShape``
+    contraction) on a rows-as-batch tensor ``(B*Hin, 1, Win, C)``.
+
+    Writing the transposed conv as a conv over the zero-dilated input
+    (base pad 1), output row parity separates the kernel rows exactly:
+    ``y[2i] = x[i] (*) w[1]`` and ``y[2i+1] = x[i] (*) w[0] + x[i+1] (*)
+    w[2]`` — three per-row 1x3 W-transposed convs plus one row shift,
+    interleaved by a free reshape. Exact vs the standard lowering
+    (pinned by ``test_rows_decoder_matches_standard``)."""
+    wout = (x_rows.shape[2] - 1) * 2 - 2 + 3 + op_w
+
+    def c1x3(d):
+        return lax.conv_general_dilated(
+            x_rows, kernel[d:d + 1], (1, 1), ((0, 0), (1, 1 + op_w)),
+            lhs_dilation=(1, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    r0, r1, r2 = c1x3(0), c1x3(1), c1x3(2)
+    z = jnp.zeros_like(r2[:1])
+    t2 = jnp.concatenate([r2[1:], z], axis=0)           # r2[i + 1]
+    if b > 1:
+        idx = jnp.arange(b * hin) % hin
+        t2 = t2 * (idx != hin - 1).astype(t2.dtype)[:, None, None, None]
+    odd = r0 + t2
+    f = r1.shape[-1]
+    y = jnp.concatenate([r1, odd], axis=1)              # (B*Hin, 2, Wout, F)
+    y = y.reshape(b, 2 * hin, wout, f)
+    if op_h == 0:
+        y = y[:, : 2 * hin - 1]
+    return y
 
 
 class DecoderStage(nn.Module):
@@ -717,11 +827,27 @@ class DecoderStage(nn.Module):
     features: int
     dtype: Any
     use_fused: bool = False  # accepted for uniformity; see NOTE above
+    rows: bool = False
+    rows_min_pixels: int = 16384
+    rows_small_max_pixels: int = 2048
+    rows_max_batch: int = 16
 
     @nn.compact
     def __call__(self, x, skip, target_hw, train: bool):
+        # rows eligibility gates on the OUTPUT plane (where the stage's
+        # traffic lives); same measured policy zones as the blocks.
+        px = target_hw[0] * target_hw[1]
+        rows = (
+            self.rows and not train and not self.is_initializing()
+            and x.shape[0] <= self.rows_max_batch
+            and (px >= self.rows_min_pixels
+                 or px <= self.rows_small_max_pixels)
+        )
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
+        b, hin = x.shape[0], x.shape[1]
+        if rows:
+            x = x.reshape(b * hin, 1, x.shape[2], x.shape[-1])
         x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
@@ -730,7 +856,8 @@ class DecoderStage(nn.Module):
         )(x)
         x = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
         x = nn.relu(x)
-        return ConvTransposeToShape(self.features, self.dtype, name="transp_conv")(x, target_hw)
+        return ConvTransposeToShape(self.features, self.dtype, name="transp_conv")(
+            x, target_hw, rows_meta=(b, hin) if rows else None)
 
 
 class Head(nn.Module):
@@ -927,7 +1054,12 @@ class DenseUNetLidar(nn.Module):
         for i, feats in enumerate(stage_features):
             skip = skips.pop() if i > 0 else None
             x = DecoderStage(
-                feats, dt, use_fused=spec.use_fused_kernels, name=f"up{i + 1}"
+                feats, dt, use_fused=spec.use_fused_kernels,
+                rows=_rows_ok(spec, x.shape[0], train),
+                rows_min_pixels=spec.rows_min_pixels,
+                rows_small_max_pixels=spec.rows_small_max_pixels,
+                rows_max_batch=spec.rows_max_batch,
+                name=f"up{i + 1}",
             )(x, skip, shapes.pop(), train)
         assert not skips and not shapes
 
@@ -944,9 +1076,11 @@ class DenseUNetLidar(nn.Module):
         ``transition{concat_before_block_num - 1}`` (reference model:53,242-245)."""
         spec = self.spec
         x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
+                        rows=_rows_ok(spec, enc_in.shape[0], train),
+                        rows_max_batch=spec.rows_max_batch,
                         name="features_stem")(enc_in, train)
         shapes = [(x.shape[1], x.shape[2])]
-        x = _maxpool_3x3_s2_p1(x)
+        x = _pool0(x, spec, train)
 
         skips = []
         num_features = spec.num_init_features

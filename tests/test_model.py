@@ -435,6 +435,24 @@ def test_rows_lowering_matches_standard_batched():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_rows_decoder_matches_standard():
+    """The rows-as-batch transposed-conv decomposition (even rows = kernel
+    row 1, odd rows = kernel row 0 + shifted kernel row 2) equals the
+    standard ``lhs_dilation`` lowering for both output paddings and for
+    batch > 1 (per-sample shift masks)."""
+    mod = ConvTransposeToShape(5, jnp.float32)
+    for b, hin, win, tgt in [(1, 8, 6, (16, 12)), (1, 8, 6, (15, 11)),
+                             (3, 7, 5, (14, 10)), (2, 7, 5, (13, 9))]:
+        x = jax.random.normal(jax.random.PRNGKey(hin + b), (b, hin, win, 4))
+        variables = mod.init(jax.random.PRNGKey(0), x, tgt)
+        ref = mod.apply(variables, x, tgt)
+        xr = x.reshape(b * hin, 1, win, 4)
+        out = mod.apply(variables, xr, tgt, rows_meta=(b, hin))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_rows_train_matches_standard():
     """Experimental train-mode rows lowering: loss, GRADIENTS and BatchNorm
     batch-stat updates all equal the standard path (the rows reshape
