@@ -110,6 +110,19 @@ class ModelSpec:
     # is exact under autodiff — pinned by tests). Off by default pending
     # a measured win; incompatible with remat (gated off).
     rows_train: bool = False
+    # CONTINUOUS rows region: instead of each component reshaping
+    # standard -> rows -> standard around itself (every boundary is a
+    # physical retile copy — the 1.4-1.5 ms reshape ops in the r3 full-res
+    # trace, ~10 round trips), enter rows form ONCE after the stem, keep
+    # pool0 / blocks / transitions / fuse / decoder stages in rows form,
+    # and exit once at the head (whose batch-1 phase-space rows lowering
+    # folds the exit reshape away entirely). Inside the region EVERY plane
+    # is rows — the per-plane pixel zones (rows_min_pixels /
+    # rows_small_max_pixels) only apply to the per-component mode, since
+    # without boundaries the mid-zone neutrality argument no longer holds.
+    # 'off' | 'on' | 'auto' (auto = the measured win regime, see
+    # _region_active).
+    rows_region: str = "off"
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -157,6 +170,7 @@ class ModelSpec:
                 tpu.get("rows_small_max_pixels", 2048))
             kwargs["rows_max_batch"] = int(tpu.get("rows_max_batch", 16))
             kwargs["rows_train"] = bool(tpu.get("rows_train", False))
+            kwargs["rows_region"] = str(tpu.get("rows_region", "off"))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -305,6 +319,43 @@ def _rows_ok(spec, batch: int, train: bool) -> bool:
             and batch <= spec.rows_max_batch)
 
 
+def _region_active(spec, b: int, h: int, w: int, train: bool) -> bool:
+    """Whether the continuous rows region applies (see ModelSpec.rows_region).
+
+    Geometry gates: H, W multiples of 32 keep every stage's halvings exact
+    and every decoder stage's output padding at (1, 1) — the only case the
+    rows transposed conv can emit rows form without a crop.
+    """
+    mode = spec.rows_region.strip().lower()
+    if mode in ("", "off", "none") or train or spec.drop_rate > 0:
+        return False
+    if b > spec.rows_max_batch or h % 32 or w % 32:
+        return False
+    return mode in ("on", "auto")
+
+
+def _maxpool_3x3_s2_p1_rows_io(x, b: int, h: int):
+    """3x3/2 max pool (pad 1) rows-in/rows-out: ``(B*H, 1, W, C) ->
+    (B*H/2, 1, W/2, C)``. Same decomposition as
+    :func:`_maxpool_3x3_s2_p1_rows` (per-row W pooling + 3-row max over the
+    even/odd planes), without leaving rows form; per-sample boundaries are
+    handled by masking the shifted odd plane with ``-inf`` (``where``, not
+    multiplication — ``-inf * 0`` is NaN)."""
+    m = lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 1, 3, 1), (1, 1, 2, 1),
+        ((0, 0), (0, 0), (1, 1), (0, 0)))                    # (B*H, 1, W/2, C)
+    wo, c = m.shape[2], m.shape[3]
+    m = m.reshape(b * h // 2, 2, wo, c)
+    a = m[:, 0:1]                                            # rows 2i
+    bb = m[:, 1:2]                                           # rows 2i+1
+    ninf = jnp.full_like(bb[:1], -jnp.inf)
+    prev = jnp.concatenate([ninf, bb[:-1]], axis=0)          # rows 2i-1
+    if b > 1:
+        idx = jnp.arange(b * h // 2) % (h // 2)
+        prev = jnp.where((idx == 0)[:, None, None, None], -jnp.inf, prev)
+    return jnp.maximum(jnp.maximum(prev, a), bb)             # (B*H/2, 1, W/2, C)
+
+
 def _pool0(x, spec, train: bool):
     """pool0 dispatch: the rows lowering when eligible under the same
     measured policy as the blocks (see ModelSpec.rows_*)."""
@@ -378,10 +429,17 @@ class DenseBlock(nn.Module):
     rows_train: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, rows_meta=None):
         layer_cls = DenseLayer
         if self.remat:
             layer_cls = nn.remat(DenseLayer, static_argnums=(2,))
+
+        if rows_meta is not None and not self.is_initializing():
+            # continuous-region call: x is ALREADY rows form (B*H, 1, W, C)
+            # and stays that way — no entry/exit relabels (see
+            # ModelSpec.rows_region)
+            b, h = rows_meta
+            return self._rows_layers(x, b, h, train)
 
         px = x.shape[1] * x.shape[2]
         rows = (
@@ -397,15 +455,8 @@ class DenseBlock(nn.Module):
             # sublane tile; 3x3 convs decompose per _rows_conv3x3, with
             # sample-boundary masks when B > 1
             b, h, w = x.shape[0], x.shape[1], x.shape[2]
-            feats = x.reshape(b * h, 1, w, x.shape[-1])
-            for i in range(self.num_layers):
-                new = DenseLayer(
-                    growth_rate=self.growth_rate, bn_size=self.bn_size,
-                    drop_rate=self.drop_rate, dtype=self.dtype, rows=True,
-                    rows_boundary=h if b > 1 else 0,
-                    name=f"denselayer{i + 1}",
-                )(feats, train)
-                feats = jnp.concatenate([feats, new], axis=-1)
+            feats = self._rows_layers(
+                x.reshape(b * h, 1, w, x.shape[-1]), b, h, train)
             return feats.reshape(b, h, w, feats.shape[-1])
 
         # impl is numerically identical either way, so pick per mode: the
@@ -476,6 +527,18 @@ class DenseBlock(nn.Module):
             features = jnp.concatenate([features, new], axis=-1)
         return features
 
+    def _rows_layers(self, feats, b: int, h: int, train: bool):
+        """The layer loop on a rows-form feature tensor (B*H, 1, W, C)."""
+        for i in range(self.num_layers):
+            new = DenseLayer(
+                growth_rate=self.growth_rate, bn_size=self.bn_size,
+                drop_rate=self.drop_rate, dtype=self.dtype, rows=True,
+                rows_boundary=h if b > 1 else 0,
+                name=f"denselayer{i + 1}",
+            )(feats, train)
+            feats = jnp.concatenate([feats, new], axis=-1)
+        return feats
+
     def _vjp_eligible(self) -> bool:
         if self.is_initializing() or self.drop_rate > 0 or self.remat:
             return False
@@ -513,25 +576,35 @@ class Transition(nn.Module):
     rows_train: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        px = x.shape[1] * x.shape[2]
-        rows = (
-            self.rows and (not train or self.rows_train)
-            and not self.is_initializing()
-            and x.shape[0] <= self.rows_max_batch and x.shape[1] % 2 == 0
-            and (px >= self.rows_min_pixels
-                 or px <= self.rows_small_max_pixels)
-        )
-        b, h, w = x.shape[0], x.shape[1], x.shape[2]
-        if rows:
-            # pooling pairs never straddle samples (H is even)
-            x = x.reshape(b * h, 1, w, x.shape[-1])
+    def __call__(self, x, train: bool, rows_meta=None):
+        region = rows_meta is not None and not self.is_initializing()
+        if region:
+            b, h = rows_meta
+            w = x.shape[2]
+            rows = False
+        else:
+            px = x.shape[1] * x.shape[2]
+            rows = (
+                self.rows and (not train or self.rows_train)
+                and not self.is_initializing()
+                and x.shape[0] <= self.rows_max_batch and x.shape[1] % 2 == 0
+                and (px >= self.rows_min_pixels
+                     or px <= self.rows_small_max_pixels)
+            )
+            b, h, w = x.shape[0], x.shape[1], x.shape[2]
+            if rows:
+                # pooling pairs never straddle samples (H is even)
+                x = x.reshape(b * h, 1, w, x.shape[-1])
         x = TorchBatchNorm(use_running_average=not train, name="norm", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.num_output_features, (1, 1), use_bias=False,
             kernel_init=_CONV_INIT, name="conv", dtype=self.dtype,
         )(x)
+        if region:
+            # rows in, rows out: (B*H, 1, W, C) -> (B*H/2, 1, W/2, C); the
+            # H-pair merge never straddles samples (per-sample H is even)
+            return _avgpool_2x2_s2_rows(x)
         if rows:
             return _avgpool_2x2_s2_rows(x).reshape(
                 b, h // 2, w // 2, self.num_output_features)
@@ -555,9 +628,11 @@ class EncoderStem(nn.Module):
     s2d: Any = "auto"  # True | False | 'auto' (on when plane >= 512x512)
     rows: bool = False       # rows-as-batch lowering of the s2d conv (eval)
     rows_max_batch: int = 16
+    rows_out: bool = False   # emit rows form (B*H/2, 1, W/2, F) — region mode
 
     @nn.compact
     def __call__(self, x, train: bool):
+        in_b, in_h, in_w = x.shape[0], x.shape[1], x.shape[2]
         conv = nn.Conv(
             self.num_init_features, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, kernel_init=_CONV_INIT, name="conv0", dtype=self.dtype,
@@ -613,15 +688,24 @@ class EncoderStem(nn.Module):
                     t0 = t0 * (idx >= 2).astype(dt_)[:, None, None, None]
                     t1 = t1 * (idx >= 1).astype(dt_)[:, None, None, None]
                     t3 = t3 * (idx != hh - 1).astype(dt_)[:, None, None, None]
-                x = (t0 + t1 + c2 + t3).reshape(bsz, hh, w // 2, f)
+                x = t0 + t1 + c2 + t3                    # rows: (B*H/2, 1, W/2, F)
+                if not self.rows_out:
+                    x = x.reshape(bsz, hh, w // 2, f)
             else:
                 x = lax.conv_general_dilated(
                     space_to_depth_2x(x).astype(self.dtype), w4,
                     (1, 1), ((2, 1), (2, 1)),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
+                if self.rows_out and not self.is_initializing():
+                    x = x.reshape(in_b * in_h // 2, 1, in_w // 2, f)
         else:
             x = conv(x)
+            if self.rows_out and not self.is_initializing():
+                # region entry: one relabel into rows form, then norm0/relu
+                # (and everything downstream) stay rows
+                x = x.reshape(
+                    in_b * x.shape[1], 1, x.shape[2], x.shape[-1])
         x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -648,12 +732,23 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
+        b, in_h = x.shape[0], x.shape[1]
+        region = (_region_active(spec, b, in_h, x.shape[2], train)
+                  and not self.is_initializing())
         x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
-                        rows=_rows_ok(spec, x.shape[0], train),
+                        rows=region or _rows_ok(spec, b, train),
                         rows_max_batch=spec.rows_max_batch,
+                        rows_out=region,
                         name="stem")(x, train)
-        shapes = [(x.shape[1], x.shape[2])]  # pre-pool0 spatial size (model:248-249)
-        x = _pool0(x, spec, train)
+        if region:
+            h_cur = in_h // 2
+            shapes = [(h_cur, x.shape[2])]  # pre-pool0 spatial size
+            x = _maxpool_3x3_s2_p1_rows_io(x, b, h_cur)
+            h_cur //= 2
+        else:
+            h_cur = None
+            shapes = [(x.shape[1], x.shape[2])]  # (model:248-249)
+            x = _pool0(x, spec, train)
 
         n_blocks = len(spec.block_config) if self.up_to_block is None else self.up_to_block - 1
         skips = []
@@ -674,11 +769,11 @@ class Encoder(nn.Module):
                 rows_max_batch=spec.rows_max_batch,
                 rows_train=spec.rows_train,
                 name=f"denseblock{i + 1}",
-            )(x, train)
+            )(x, train, rows_meta=(b, h_cur) if region else None)
             num_features += num_layers * spec.growth_rate
             if self.up_to_block is None and i < len(spec.block_config) - 1:
                 skips.append(x)
-                shapes.append((x.shape[1], x.shape[2]))
+                shapes.append((h_cur if region else x.shape[1], x.shape[2]))
             if i != len(spec.block_config) - 1:
                 x = Transition(num_features // 2, spec.dtype,
                                rows=spec.rows_for_block(i + 1),
@@ -686,8 +781,11 @@ class Encoder(nn.Module):
                                rows_small_max_pixels=spec.rows_small_max_pixels,
                                rows_max_batch=spec.rows_max_batch,
                                rows_train=spec.rows_train,
-                               name=f"transition{i + 1}")(x, train)
+                               name=f"transition{i + 1}")(
+                    x, train, rows_meta=(b, h_cur) if region else None)
                 num_features //= 2
+                if region:
+                    h_cur //= 2
         return x, skips, shapes
 
 
@@ -744,7 +842,7 @@ class ConvTransposeToShape(nn.Module):
     pad: int = 1
 
     @nn.compact
-    def __call__(self, x, target_hw, rows_meta=None):
+    def __call__(self, x, target_hw, rows_meta=None, rows_out=False):
         k, s, p = self.kernel_size, self.stride, self.pad
         h_in = rows_meta[1] if rows_meta is not None else x.shape[1]
         op_h = target_hw[0] - ((h_in - 1) * s - 2 * p + k)
@@ -767,7 +865,7 @@ class ConvTransposeToShape(nn.Module):
         if rows_meta is not None:
             return _conv_transpose_3x3_s2_rows(
                 x.astype(self.dtype), kernel.astype(self.dtype),
-                op_h, op_w, rows_meta[0], rows_meta[1])
+                op_h, op_w, rows_meta[0], rows_meta[1], rows_out=rows_out)
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -779,7 +877,8 @@ class ConvTransposeToShape(nn.Module):
         return y
 
 
-def _conv_transpose_3x3_s2_rows(x_rows, kernel, op_h, op_w, b, hin):
+def _conv_transpose_3x3_s2_rows(x_rows, kernel, op_h, op_w, b, hin,
+                                rows_out=False):
     """k=3, s=2, p=1 transposed conv (the ``ConvTransposeToShape``
     contraction) on a rows-as-batch tensor ``(B*Hin, 1, Win, C)``.
 
@@ -806,6 +905,11 @@ def _conv_transpose_3x3_s2_rows(x_rows, kernel, op_h, op_w, b, hin):
     odd = r0 + t2
     f = r1.shape[-1]
     y = jnp.concatenate([r1, odd], axis=1)              # (B*Hin, 2, Wout, F)
+    if rows_out:
+        # stay rows: (B*Hin, 2, Wout, F) -> (B*2Hin, 1, Wout, F) is the
+        # same element order (region mode requires op_h == 1 — no crop)
+        assert op_h == 1, "rows_out needs output_padding 1 (no H crop)"
+        return y.reshape(b * 2 * hin, 1, wout, f)
     y = y.reshape(b, 2 * hin, wout, f)
     if op_h == 0:
         y = y[:, : 2 * hin - 1]
@@ -833,21 +937,30 @@ class DecoderStage(nn.Module):
     rows_max_batch: int = 16
 
     @nn.compact
-    def __call__(self, x, skip, target_hw, train: bool):
-        # rows eligibility gates on the OUTPUT plane (where the stage's
-        # traffic lives); same measured policy zones as the blocks.
-        px = target_hw[0] * target_hw[1]
-        rows = (
-            self.rows and not train and not self.is_initializing()
-            and x.shape[0] <= self.rows_max_batch
-            and (px >= self.rows_min_pixels
-                 or px <= self.rows_small_max_pixels)
-        )
-        if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
-        b, hin = x.shape[0], x.shape[1]
-        if rows:
-            x = x.reshape(b * hin, 1, x.shape[2], x.shape[-1])
+    def __call__(self, x, skip, target_hw, train: bool, rows_meta=None,
+                 rows_out=False):
+        region = rows_meta is not None and not self.is_initializing()
+        if region:
+            # continuous-region call: x (and skip) arrive in rows form
+            b, hin = rows_meta
+            rows = True
+            if skip is not None:
+                x = jnp.concatenate([x, skip], axis=-1)
+        else:
+            # rows eligibility gates on the OUTPUT plane (where the stage's
+            # traffic lives); same measured policy zones as the blocks.
+            px = target_hw[0] * target_hw[1]
+            rows = (
+                self.rows and not train and not self.is_initializing()
+                and x.shape[0] <= self.rows_max_batch
+                and (px >= self.rows_min_pixels
+                     or px <= self.rows_small_max_pixels)
+            )
+            if skip is not None:
+                x = jnp.concatenate([x, skip], axis=-1)
+            b, hin = x.shape[0], x.shape[1]
+            if rows:
+                x = x.reshape(b * hin, 1, x.shape[2], x.shape[-1])
         x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(
@@ -857,7 +970,8 @@ class DecoderStage(nn.Module):
         x = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
         x = nn.relu(x)
         return ConvTransposeToShape(self.features, self.dtype, name="transp_conv")(
-            x, target_hw, rows_meta=(b, hin) if rows else None)
+            x, target_hw, rows_meta=(b, hin) if rows else None,
+            rows_out=region and rows_out)
 
 
 class Head(nn.Module):
@@ -1049,18 +1163,34 @@ class DenseUNetLidar(nn.Module):
             enc_in, s2 if fusion == "mid" else None, train
         )
 
+        b, in_h = enc_in.shape[0], enc_in.shape[1]
+        region = (_region_active(spec, b, in_h, enc_in.shape[2], train)
+                  and not self.is_initializing())
+        h_cur = in_h // 32 if region else None  # bottleneck plane H
+
         # decoder (reference model:255-261); skip/shape stacks pop LIFO
         stage_features = spec.decoder_stage_features()
         for i, feats in enumerate(stage_features):
             skip = skips.pop() if i > 0 else None
+            target_hw = shapes.pop()
+            # region exit happens INSIDE the last stage's transposed conv:
+            # its rows lowering emits standard form via the same single
+            # reshape the per-component path uses — an explicit
+            # rows -> rows -> standard relabel pair after up4 did NOT fold
+            # in XLA (a measured +1.2 ms retile on the 640x960 plane)
+            last = i == len(stage_features) - 1
             x = DecoderStage(
                 feats, dt, use_fused=spec.use_fused_kernels,
-                rows=_rows_ok(spec, x.shape[0], train),
+                rows=_rows_ok(spec, b, train),
                 rows_min_pixels=spec.rows_min_pixels,
                 rows_small_max_pixels=spec.rows_small_max_pixels,
                 rows_max_batch=spec.rows_max_batch,
                 name=f"up{i + 1}",
-            )(x, skip, shapes.pop(), train)
+            )(x, skip, target_hw, train,
+              rows_meta=(b, h_cur) if region else None,
+              rows_out=region and not last)
+            if region:
+                h_cur = target_hw[0]
         assert not skips and not shapes
 
         # 2x upsample (reference model:120) + head over the concat with the
@@ -1075,12 +1205,23 @@ class DenseUNetLidar(nn.Module):
         """Main-stream encoder with the mid-fusion concat inserted right after
         ``transition{concat_before_block_num - 1}`` (reference model:53,242-245)."""
         spec = self.spec
+        b, in_h = enc_in.shape[0], enc_in.shape[1]
+        region = (_region_active(spec, b, in_h, enc_in.shape[2], train)
+                  and not self.is_initializing())
         x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
-                        rows=_rows_ok(spec, enc_in.shape[0], train),
+                        rows=region or _rows_ok(spec, b, train),
                         rows_max_batch=spec.rows_max_batch,
+                        rows_out=region,
                         name="features_stem")(enc_in, train)
-        shapes = [(x.shape[1], x.shape[2])]
-        x = _pool0(x, spec, train)
+        if region:
+            h_cur = in_h // 2
+            shapes = [(h_cur, x.shape[2])]
+            x = _maxpool_3x3_s2_p1_rows_io(x, b, h_cur)
+            h_cur //= 2
+        else:
+            h_cur = None
+            shapes = [(x.shape[1], x.shape[2])]
+            x = _pool0(x, spec, train)
 
         skips = []
         num_features = spec.num_init_features
@@ -1099,11 +1240,11 @@ class DenseUNetLidar(nn.Module):
                 rows_max_batch=spec.rows_max_batch,
                 rows_train=spec.rows_train,
                 name=f"features_denseblock{i + 1}",
-            )(x, train)
+            )(x, train, rows_meta=(b, h_cur) if region else None)
             num_features += num_layers * spec.growth_rate
             if i < len(spec.block_config) - 1:
                 skips.append(x)
-                shapes.append((x.shape[1], x.shape[2]))
+                shapes.append((h_cur if region else x.shape[1], x.shape[2]))
                 x = Transition(num_features // 2, spec.dtype,
                                rows=spec.rows_for_block(i + 1),
                                rows_min_pixels=spec.rows_min_pixels,
@@ -1111,10 +1252,14 @@ class DenseUNetLidar(nn.Module):
                                rows_max_batch=spec.rows_max_batch,
                                rows_train=spec.rows_train,
                                name=f"features_transition{i + 1}")(
-                    x, train
+                    x, train, rows_meta=(b, h_cur) if region else None
                 )
                 num_features //= 2
+                if region:
+                    h_cur //= 2
                 if s2 is not None and (i + 1) == spec.concat_before_block_num - 1:
+                    # rows or standard, both streams arrive in the SAME form
+                    # (the stream_2 Encoder shares the region decision)
                     assert x.shape == s2.shape, f"{x.shape} vs {s2.shape}"  # model:243
                     x = ConcatFuse(
                         num_features, spec.dtype,

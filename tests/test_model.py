@@ -487,3 +487,63 @@ def test_rows_train_matches_standard():
                     jax.tree_util.tree_leaves(sb)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_rows_region_matches_standard():
+    """The CONTINUOUS rows region (enter rows form once after the stem,
+    keep pool0 / blocks / transitions / fuse / decoder stages rows, exit
+    once before the head — ModelSpec.rows_region) is the same math as the
+    standard path: full-model eval parity at batch 1 and batch 3 (distinct
+    samples — a cross-sample leak through any shifted term would show),
+    with and without the fused head, s2d stem on and off."""
+    rgb = jax.random.normal(jax.random.PRNGKey(11), (3, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(12), (3, 64, 96, 1))
+    for fused in (False, True):
+        for s2d in (False, True):
+            spec_a = _tiny_spec(rows_blocks="none", use_fused_kernels=fused,
+                                s2d_stem=s2d)
+            spec_b = _tiny_spec(rows_region="on", use_fused_kernels=fused,
+                                s2d_stem=s2d)
+            mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+            variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+            for b in (1, 3):
+                out_a = mod_a.apply(variables, rgb[:b], lidar[:b], False)
+                out_b = mod_b.apply(variables, rgb[:b], lidar[:b], False)
+                assert out_b.shape == out_a.shape
+                np.testing.assert_allclose(
+                    np.asarray(out_a), np.asarray(out_b),
+                    rtol=1e-4, atol=1e-4,
+                    err_msg=f"fused={fused} s2d={s2d} b={b}")
+    # train mode ignores the region exactly (bit-identical path)
+    spec_a = _tiny_spec(rows_blocks="none")
+    spec_b = _tiny_spec(rows_region="on", rows_blocks="none")
+    mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    ta = mod_a.apply(variables, rgb, lidar, True, mutable=["batch_stats"])[0]
+    tb = mod_b.apply(variables, rgb, lidar, True, mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(ta), np.asarray(tb),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rows_region_geometry_fallback():
+    """Planes not divisible by 32 fall back to the standard path (the
+    region needs exact halvings and output_padding 1 throughout)."""
+    spec = _tiny_spec(rows_region="on", rows_blocks="none")
+    mod = DenseUNetLidar(spec)
+    rgb = jax.random.normal(jax.random.PRNGKey(3), (1, 96, 160, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(4), (1, 96, 160, 1))
+    variables = mod.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    out = mod.apply(variables, rgb, lidar, False)  # 96x160: region ON
+    assert out.shape == (1, 96, 160, 3)
+    # the gate itself: non-multiple-of-32 planes, oversized batches, train
+    # mode and dropout all refuse the region
+    from dmmfods_tpu.models.dense_unet_lidar import _region_active
+    assert _region_active(spec, 1, 96, 160, False)
+    assert not _region_active(spec, 1, 80, 96, False)   # H % 32
+    assert not _region_active(spec, 1, 96, 144, False)  # W % 32
+    assert not _region_active(spec, 32, 96, 160, False)  # batch > max
+    assert not _region_active(spec, 1, 96, 160, True)   # train
+    assert not _region_active(
+        _tiny_spec(rows_region="on", drop_rate=0.1), 1, 96, 160, False)
+    assert not _region_active(
+        _tiny_spec(rows_region="off"), 1, 96, 160, False)

@@ -101,7 +101,8 @@ def trace_and_attribute(fn, args, steps=3, top=28):
 
 
 def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
-                  h=1280, w=1920, arch="121", s2d=False, rows="none"):
+                  h=1280, w=1920, arch="121", s2d=False, rows="none",
+                  region="off"):
     import jax
     import jax.numpy as jnp
 
@@ -120,6 +121,7 @@ def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
     cfg.tpu.remat = remat
     cfg.tpu.s2d_stem = s2d
     cfg.tpu.rows_blocks = rows
+    cfg.tpu.rows_region = region
     if impl:
         cfg.tpu.dense_block_impl = impl
     ctor = densenet201_u_lidar if arch == "201" else densenet121_u_lidar
@@ -175,17 +177,19 @@ def main():
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--s2d", action="store_true")
     p.add_argument("--rows", default="none")
+    p.add_argument("--region", default="off")
     args = p.parse_args()
 
     if args.config == "3":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
-            batch=args.batch or 1, s2d=args.s2d, rows=args.rows)
+            batch=args.batch or 1, s2d=args.s2d, rows=args.rows,
+            region=args.region)
     elif args.config == "headline":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
             batch=args.batch or 256, h=128, w=192, s2d=args.s2d,
-            rows=args.rows)
+            rows=args.rows, region=args.region)
     elif args.config == "train":
         fn, fargs = build_train(batch=args.batch or 128)
     else:

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(s2d=False, gate=98304, impl=None, batch=1, steps=20,
-            rows="none"):
+            rows="none", region="off"):
     import jax
 
     from tools.profile_attribution import build_fullres
@@ -31,7 +31,7 @@ def measure(s2d=False, gate=98304, impl=None, batch=1, steps=20,
     from tools._timing import device_time
 
     fn, fargs = build_fullres(impl=impl, fused=True, gate=gate, batch=batch,
-                              s2d=s2d, rows=rows)
+                              s2d=s2d, rows=rows, region=region)
     # forced-completion sustained timing (block_until_ready is a no-op on
     # the tunneled backend — see dmmfods_tpu/utils/timing.py)
     sus, _ = device_time(fn, fargs, steps)
@@ -59,13 +59,16 @@ def main():
         gate = 3000000 if "phase" in parts else 98304
         impl = None
         rows = "none"
+        region = "off"
         for part in parts:
             if part.startswith("impl="):
                 impl = part[5:]
             if part.startswith("rows="):
                 rows = part[5:]
+            if part.startswith("region="):
+                region = part[7:]
         sus, sync = measure(s2d=s2d, gate=gate, impl=impl, steps=args.steps,
-                            rows=rows)
+                            rows=rows, region=region)
         print(f"variant={variant:<40} sustained {sus * 1e3:7.1f} ms "
               f"(sync {sync * 1e3:7.1f} ms) {1.0 / sus:6.1f} frames/s",
               flush=True)
