@@ -123,6 +123,11 @@ class ModelSpec:
     # 'off' | 'on' | 'auto' (auto = the measured win regime, see
     # _region_active).
     rows_region: str = "off"
+    # phase-space head lowering: 'auto' picks per shape/backend (see Head
+    # — at batch 1 on TPU with a large plane and H/2 divisible by 8, the
+    # Pallas row-strip kernel in ops/pallas/phase_head.py; otherwise the
+    # rows / single / slices XLA forms). Explicit values force one impl.
+    phase_head_impl: str = "auto"
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -171,6 +176,7 @@ class ModelSpec:
             kwargs["rows_max_batch"] = int(tpu.get("rows_max_batch", 16))
             kwargs["rows_train"] = bool(tpu.get("rows_train", False))
             kwargs["rows_region"] = str(tpu.get("rows_region", "off"))
+            kwargs["phase_head_impl"] = str(tpu.get("phase_head_impl", "auto"))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -997,9 +1003,10 @@ class Head(nn.Module):
     dtype: Any
     use_fused: bool = False
     fused_max_pixels: int = 98304
+    impl: str = "auto"   # ModelSpec.phase_head_impl
 
     @nn.compact
-    def __call__(self, x_lo, raw, train: bool):
+    def __call__(self, x_lo, raw, train: bool, raw_parts=None):
         norm0 = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)
         refine0 = nn.Conv(
             self.mid_features, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
@@ -1020,14 +1027,23 @@ class Head(nn.Module):
             params = self.variables["params"]
             # refine1 lowering: shifted-slice convs stay fused and win at
             # the working resolution; above ~100k output pixels the single
-            # masked 4x4-conv form avoids four full-plane slice reads, and
-            # at batch 1 the rows-as-batch whole-head form additionally
-            # sidesteps XLA's pathological b1 layouts (19.4 -> measured in
-            # BASELINE.md r3)
+            # masked 4x4-conv form avoids four full-plane slice reads; at
+            # batch 1 the rows-as-batch whole-head form sidesteps XLA's
+            # pathological b1 layouts (19.4 -> measured in BASELINE.md r3);
+            # and on TPU the Pallas row-strip kernel beats even that by
+            # never materializing the window grid (ops/pallas/phase_head)
             big = raw.shape[1] * raw.shape[2] > 98304
-            refine1_impl = "slices" if not big else (
-                "rows" if raw.shape[0] == 1 else "single"
-            )
+            if self.impl != "auto":
+                refine1_impl = self.impl
+            elif not big:
+                refine1_impl = "slices"
+            elif (raw.shape[0] == 1 and x_lo.shape[1] % 8 == 0
+                  and jax.default_backend() == "tpu"):
+                refine1_impl = "strip"
+            elif raw.shape[0] == 1:
+                refine1_impl = "rows"
+            else:
+                refine1_impl = "single"
             return phase_space_head(
                 x_lo.astype(self.dtype), raw.astype(self.dtype),
                 norm0=params["norm0"], norm0_stats=stats["norm0"],
@@ -1035,6 +1051,7 @@ class Head(nn.Module):
                 norm1=params["norm1"], norm1_stats=stats["norm1"],
                 refine1_kernel=params["refine1"]["kernel"],
                 eps=_BN_EPS, refine1_impl=refine1_impl,
+                raw_parts=raw_parts if refine1_impl == "strip" else None,
             )
 
         x = _nearest_upsample_2x(x_lo)
@@ -1140,16 +1157,22 @@ class DenseUNetLidar(nn.Module):
         if stream_2_data is not None:
             stream_2_data = stream_2_data.astype(dt)
 
-        # fusion dispatch (reference model:224-235)
+        # fusion dispatch (reference model:224-235). raw_parts carries the
+        # unconcatenated streams to the head — its strip kernel consumes
+        # them per stream (relabels CSE with the s2d stems'), and the
+        # raw_skip concat DCEs away when nothing else reads it
         if fusion == "no":
             raw_skip = stream_1_data
             enc_in = stream_1_data
+            raw_parts = (stream_1_data,)
         elif fusion == "early":
             raw_skip = jnp.concatenate([stream_1_data, stream_2_data], axis=-1)
             enc_in = raw_skip
+            raw_parts = (raw_skip,)
         else:  # mid
             raw_skip = jnp.concatenate([stream_1_data, stream_2_data], axis=-1)
             enc_in = stream_1_data
+            raw_parts = (stream_1_data, stream_2_data)
 
         # encoder (+ parallel stream_2 up to the fusion point for 'mid')
         if fusion == "mid":
@@ -1199,7 +1222,9 @@ class DenseUNetLidar(nn.Module):
         return Head(stage_features[-1] // 2, spec.num_classes, dt,
                     use_fused=spec.use_fused_kernels,
                     fused_max_pixels=spec.fused_head_max_pixels,
-                    name="dec_out_to_heat_maps")(x, raw_skip, train)
+                    impl=spec.phase_head_impl,
+                    name="dec_out_to_heat_maps")(
+            x, raw_skip, train, raw_parts=raw_parts)
 
     def _encode_with_fusion(self, enc_in, s2, train):
         """Main-stream encoder with the mid-fusion concat inserted right after

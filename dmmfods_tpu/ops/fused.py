@@ -454,7 +454,7 @@ def phase_space_head_rows(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt):
 
 def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
                      norm1, norm1_stats, refine1_kernel, eps=1e-5,
-                     refine1_impl="slices"):
+                     refine1_impl="slices", raw_parts=None):
     """The whole head at low resolution (see block comment above).
 
     Args:
@@ -486,6 +486,17 @@ def phase_space_head(x_lo, raw, *, norm0, norm0_stats, refine0_kernel,
     if refine1_impl == "rows":
         return phase_space_head_rows(
             x_lo, raw, g0=g0, b0=b0, g1=g1, b1=b1, w0p=w0p, w1p=w1p, dt=dt)
+    if refine1_impl == "strip":
+        # Pallas row-strip kernel (batch 1, H/2 % 8 == 0): the whole head
+        # in VMEM, no window-grid materialization (ops/pallas/phase_head);
+        # interpret mode keeps the identical code path testable off-TPU
+        from .pallas.phase_head import phase_space_head_strip
+
+        if raw_parts is not None:
+            raw_parts = [p.astype(dt) for p in raw_parts]
+        return phase_space_head_strip(
+            x_lo, raw, g0=g0, b0=b0, g1=g1, b1=b1, w0p=w0p, w1p=w1p, dt=dt,
+            interpret=jax.default_backend() != "tpu", raw_parts=raw_parts)
 
     # BN0 + ReLU: up stream at low res (upsample commutes), raw at full res.
     # Elementwise pass in the COMPUTE dtype with f32-folded constants —

@@ -111,6 +111,21 @@ def test_phase_space_head_matches_naive():
     np.testing.assert_allclose(np.asarray(out_rows), np.asarray(ref[:1]),
                                atol=2e-4)
 
+    # the Pallas row-strip kernel (interpret mode off-TPU; the identical
+    # kernel code path) — whole raw, and per-stream raw parts whose
+    # relabels CSE with the s2d stems in the model
+    out_strip = fused.phase_space_head(
+        x_lo[:1], raw[:1], norm0=n0, norm0_stats=s0, refine0_kernel=w0,
+        norm1=n1, norm1_stats=s1, refine1_kernel=w1, refine1_impl="strip")
+    np.testing.assert_allclose(np.asarray(out_strip), np.asarray(ref[:1]),
+                               atol=2e-4)
+    out_strip_parts = fused.phase_space_head(
+        x_lo[:1], raw[:1], norm0=n0, norm0_stats=s0, refine0_kernel=w0,
+        norm1=n1, norm1_stats=s1, refine1_kernel=w1, refine1_impl="strip",
+        raw_parts=[raw[:1, :, :, :3], raw[:1, :, :, 3:]])
+    np.testing.assert_allclose(np.asarray(out_strip_parts),
+                               np.asarray(ref[:1]), atol=2e-4)
+
 
 def test_phase_head_train_matches_plain():
     """Training-mode phase head == the plain upsample/concat head: outputs,

@@ -547,3 +547,26 @@ def test_rows_region_geometry_fallback():
         _tiny_spec(rows_region="on", drop_rate=0.1), 1, 96, 160, False)
     assert not _region_active(
         _tiny_spec(rows_region="off"), 1, 96, 160, False)
+
+
+def test_phase_head_strip_full_model_matches():
+    """Full-model eval parity of the Pallas strip head (interpret mode on
+    CPU — the identical kernel code path the TPU compiles) against the
+    default head impls, mid fusion (per-stream raw parts) and early fusion
+    (single part)."""
+    rgb = jax.random.normal(jax.random.PRNGKey(21), (1, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(22), (1, 64, 96, 1))
+    for concat_before, s2 in ((3, 1), (1, 1)):
+        spec_a = _tiny_spec(use_fused_kernels=True,
+                            concat_before_block_num=concat_before,
+                            stream_2_in_channels=s2)
+        spec_b = _tiny_spec(use_fused_kernels=True, phase_head_impl="strip",
+                            concat_before_block_num=concat_before,
+                            stream_2_in_channels=s2)
+        mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+        variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+        out_a = mod_a.apply(variables, rgb, lidar, False)
+        out_b = mod_b.apply(variables, rgb, lidar, False)
+        assert out_b.shape == out_a.shape
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                                   rtol=1e-4, atol=1e-4)
