@@ -17,6 +17,7 @@
 #include <cstdio>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -439,13 +440,24 @@ struct DmmPrefetcher {
   bool raw = false;          // raw-record (.npz) mode
   int64_t full_h = 1280, full_w = 1920;
   std::atomic<size_t> next_idx{0};
-  std::deque<DmmBatch*> ready;
+  // Decoded batches keyed by file index: threads finish out of order, but
+  // the consumer must see batches in paths[] order (training determinism).
+  std::map<size_t, DmmBatch*> ready;
   std::mutex mu;
   std::condition_variable cv_ready, cv_space;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
-  size_t produced = 0;  // guarded by mu: batches pushed to ready
-  size_t popped = 0;    // guarded by mu
+  size_t popped = 0;  // guarded by mu: next index the consumer needs
+
+  // Wait until the batch the consumer needs next (index `popped`) has been
+  // decoded. Returns nullptr when the stream is exhausted.
+  DmmBatch* wait_front(std::unique_lock<std::mutex>& lk) {
+    cv_ready.wait(lk, [&] {
+      return ready.count(popped) != 0 || popped >= paths.size();
+    });
+    auto it = ready.find(popped);
+    return it == ready.end() ? nullptr : it->second;
+  }
 
   void worker_loop() {
     for (;;) {
@@ -473,10 +485,12 @@ struct DmmPrefetcher {
         }
       }
       std::unique_lock<std::mutex> lk(mu);
-      cv_space.wait(lk, [&] { return ready.size() < depth || stop.load(); });
+      // Sliding admission window: idx == popped is always admissible, so the
+      // batch the consumer is waiting for can never deadlock behind
+      // later-indexed batches filling the buffer.
+      cv_space.wait(lk, [&] { return idx < popped + depth || stop.load(); });
       if (stop.load()) { delete b; return; }
-      ready.push_back(b);
-      produced++;
+      ready.emplace(idx, b);
       cv_ready.notify_one();
     }
   }
@@ -498,11 +512,8 @@ void* dmm_prefetcher_create(const char** paths, int64_t num_paths,
 int dmm_prefetcher_peek(void* handle, int64_t* n, int64_t* h, int64_t* w) {
   auto* p = (DmmPrefetcher*)handle;
   std::unique_lock<std::mutex> lk(p->mu);
-  p->cv_ready.wait(lk, [&] {
-    return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
-  });
-  if (p->ready.empty()) return -1;  // exhausted
-  DmmBatch* b = p->ready.front();
+  DmmBatch* b = p->wait_front(lk);
+  if (!b) return -1;  // exhausted
   if (b->status == 0) { *n = b->n; *h = b->h; *w = b->w; }
   return b->status;
 }
@@ -515,14 +526,11 @@ int dmm_prefetcher_next(void* handle, float* img, float* lidar, float* ht,
   DmmBatch* b = nullptr;
   {
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_ready.wait(lk, [&] {
-      return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
-    });
-    if (p->ready.empty()) return -1;  // exhausted
-    b = p->ready.front();
-    p->ready.pop_front();
+    b = p->wait_front(lk);
+    if (!b) return -1;  // exhausted
+    p->ready.erase(p->popped);
     p->popped++;
-    p->cv_space.notify_one();
+    p->cv_space.notify_all();
   }
   int status = b->status;
   if (status == 0) {
@@ -555,11 +563,8 @@ int dmm_prefetcher_peek_raw(void* handle, int64_t* n, int64_t* h, int64_t* w,
                             int64_t* mb) {
   auto* p = (DmmPrefetcher*)handle;
   std::unique_lock<std::mutex> lk(p->mu);
-  p->cv_ready.wait(lk, [&] {
-    return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
-  });
-  if (p->ready.empty()) return -1;  // exhausted
-  DmmBatch* b = p->ready.front();
+  DmmBatch* b = p->wait_front(lk);
+  if (!b) return -1;  // exhausted
   if (b->status == 0) { *n = b->n; *h = b->h; *w = b->w; *mb = b->mb; }
   return b->status;
 }
@@ -573,14 +578,11 @@ int dmm_prefetcher_next_raw(void* handle, float* img, float* lidar,
   DmmBatch* b = nullptr;
   {
     std::unique_lock<std::mutex> lk(p->mu);
-    p->cv_ready.wait(lk, [&] {
-      return !p->ready.empty() || p->popped + p->ready.size() >= p->paths.size();
-    });
-    if (p->ready.empty()) return -1;  // exhausted
-    b = p->ready.front();
-    p->ready.pop_front();
+    b = p->wait_front(lk);
+    if (!b) return -1;  // exhausted
+    p->ready.erase(p->popped);
     p->popped++;
-    p->cv_space.notify_one();
+    p->cv_space.notify_all();
   }
   int status = b->status;
   if (status == 0) {
@@ -599,7 +601,7 @@ void dmm_prefetcher_destroy(void* handle) {
   p->cv_space.notify_all();
   p->cv_ready.notify_all();
   for (auto& t : p->workers) t.join();
-  for (auto* b : p->ready) delete b;
+  for (auto& kv : p->ready) delete kv.second;
   delete p;
 }
 

@@ -476,3 +476,32 @@ def test_native_raw_prefetcher_matches_python_path(tmp_path):
     got = list(iter(loader))
     assert len(got) == len(py_batches)
     np.testing.assert_array_equal(got[0][1], py_batches[0][1])
+
+
+def test_native_prefetcher_preserves_order_under_thread_races(tmp_path):
+    """Reader threads finish out of submission order (sizes vary 100x); the
+    prefetcher must still deliver batches in paths[] order — training
+    determinism depends on it. Regression for the completion-order bug."""
+    from dmmfods_tpu.data import native_io
+
+    if not native_io.available():
+        pytest.skip("native IO library unavailable")
+
+    rng = np.random.default_rng(3)
+    paths = []
+    markers = []
+    for i in range(24):
+        # alternate tiny and large planes so a small file submitted later
+        # reliably finishes before a big one submitted earlier
+        h, w = (8, 8) if i % 2 else (128, 192)
+        a = rng.random((2, h, w, 7)).astype(np.float32)
+        a[0, 0, 0, 0] = float(i)  # order marker in the image channel
+        p = tmp_path / f"{i}.npy"
+        np.save(p, a)
+        paths.append(p)
+        markers.append(float(i))
+
+    pf = native_io.NativePrefetcher(paths, depth=3, num_threads=4)
+    got = [float(img[0, 0, 0, 0]) for img, _, _ in pf]
+    pf.close()
+    assert got == markers
