@@ -123,6 +123,13 @@ class ModelSpec:
     # 'off' | 'on' | 'auto' (auto = the measured win regime, see
     # _region_active).
     rows_region: str = "off"
+    # batch-1 large-plane dense blocks as a Pallas row-strip pipeline
+    # (ops/pallas/dense_block_strip.py): the whole block runs per 8-N-row
+    # strip with the growing concat VMEM-resident — supersedes the rows
+    # XLA lowering in its big-plane regime (>= rows_min_pixels). 'auto'
+    # (default: on-TPU only), 'on' (force — tests run interpret mode on
+    # CPU), 'off'.
+    dense_block_strip: str = "auto"
     # phase-space head lowering: 'auto' picks per shape/backend (see Head
     # — at batch 1 on TPU with a large plane and H/2 divisible by 8, the
     # Pallas row-strip kernel in ops/pallas/phase_head.py; otherwise the
@@ -177,6 +184,8 @@ class ModelSpec:
             kwargs["rows_train"] = bool(tpu.get("rows_train", False))
             kwargs["rows_region"] = str(tpu.get("rows_region", "off"))
             kwargs["phase_head_impl"] = str(tpu.get("phase_head_impl", "auto"))
+            kwargs["dense_block_strip"] = str(
+                tpu.get("dense_block_strip", "auto"))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -433,6 +442,7 @@ class DenseBlock(nn.Module):
     rows_small_max_pixels: int = 2048
     rows_max_batch: int = 16
     rows_train: bool = False
+    strip: str = "off"           # ModelSpec.dense_block_strip
 
     @nn.compact
     def __call__(self, x, train: bool, rows_meta=None):
@@ -448,6 +458,24 @@ class DenseBlock(nn.Module):
             return self._rows_layers(x, b, h, train)
 
         px = x.shape[1] * x.shape[2]
+        if self._strip_eligible(x, train, px):
+            # batch-1 big-plane fast path: the whole block as a Pallas
+            # row-strip pipeline, concat buffer VMEM-resident (read x once
+            # + halo, write the final buffer once — vs O(L^2) HBM round
+            # trips). Supersedes the rows XLA lowering in this regime.
+            from ..ops.pallas.dense_block import fold_block_params_jnp
+            from ..ops.pallas.dense_block_strip import dense_block_strip
+
+            variables = self.variables
+            folded = fold_block_params_jnp(
+                variables["params"], variables["batch_stats"],
+                self.num_layers, x.shape[-1], self.growth_rate, self.bn_size,
+            )
+            return dense_block_strip(
+                x, folded, num_layers=self.num_layers, c0=x.shape[-1],
+                growth=self.growth_rate, h=x.shape[1], w=x.shape[2],
+            )
+
         rows = (
             self.rows and (not train or (self.rows_train and not self.remat))
             and not self.is_initializing()
@@ -544,6 +572,25 @@ class DenseBlock(nn.Module):
             )(feats, train)
             feats = jnp.concatenate([feats, new], axis=-1)
         return feats
+
+    def _strip_eligible(self, x, train: bool, px: int) -> bool:
+        if self.strip == "off" or train or self.is_initializing():
+            return False
+        if self.drop_rate > 0 or px < self.rows_min_pixels:
+            return False
+        if self.strip == "auto" and not any(
+            d.platform == "tpu" for d in jax.devices()
+        ):
+            return False
+        if "denselayer1" not in self.variables.get("batch_stats", {}):
+            return False
+        from ..ops.pallas.dense_block_strip import eligible
+
+        return eligible(
+            x.shape[0], x.shape[1], x.shape[2], x.shape[-1],
+            self.growth_rate, self.num_layers, self.bn_size,
+            jnp.dtype(self.dtype).itemsize,
+        )
 
     def _vjp_eligible(self) -> bool:
         if self.is_initializing() or self.drop_rate > 0 or self.remat:
@@ -774,6 +821,7 @@ class Encoder(nn.Module):
                 rows_small_max_pixels=spec.rows_small_max_pixels,
                 rows_max_batch=spec.rows_max_batch,
                 rows_train=spec.rows_train,
+                strip=spec.dense_block_strip,
                 name=f"denseblock{i + 1}",
             )(x, train, rows_meta=(b, h_cur) if region else None)
             num_features += num_layers * spec.growth_rate
@@ -1264,6 +1312,7 @@ class DenseUNetLidar(nn.Module):
                 rows_small_max_pixels=spec.rows_small_max_pixels,
                 rows_max_batch=spec.rows_max_batch,
                 rows_train=spec.rows_train,
+                strip=spec.dense_block_strip,
                 name=f"features_denseblock{i + 1}",
             )(x, train, rows_meta=(b, h_cur) if region else None)
             num_features += num_layers * spec.growth_rate

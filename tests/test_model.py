@@ -570,3 +570,22 @@ def test_phase_head_strip_full_model_matches():
         assert out_b.shape == out_a.shape
         np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_dense_block_strip_full_model_matches():
+    """Full-model eval parity with the Pallas dense-block strip pipeline
+    forced on (interpret mode on CPU — the identical kernel code path the
+    TPU compiles). rows_min_pixels is lowered so the tiny model's block1
+    plane falls in the strip regime, as full-res blocks 1/2 do at 1280x1920."""
+    rgb = jax.random.normal(jax.random.PRNGKey(31), (1, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(32), (1, 64, 96, 1))
+    spec_a = _tiny_spec(dense_block_strip="off")
+    spec_b = _tiny_spec(dense_block_strip="on", rows_min_pixels=256,
+                        rows_blocks="none")
+    mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    out_a = mod_a.apply(variables, rgb, lidar, False)
+    out_b = mod_b.apply(variables, rgb, lidar, False)
+    assert out_b.shape == out_a.shape
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-4)
