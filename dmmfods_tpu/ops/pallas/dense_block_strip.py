@@ -9,29 +9,43 @@ lowering still leaves ~14.8 ms on blocks 1/2 for ~1.7 ms of MXU math
 (BASELINE.md r3: the remaining full-res attribution).
 
 Design — one grid step produces ``RS`` rows of the block's final concat
-feature buffer from a halo'd strip of the input, entirely in VMEM:
+feature buffer from a halo'd strip of the input, entirely in VMEM. The
+whole kernel works on the FLAT (rows*W, C) form so every 3x3 tap shift is
+a single circular roll of the leading dim, never a misaligned 2D slice
+(a first 2D-scratch formulation compiled, but Mosaic lowered its
+off-by-one sublane slices to per-vreg shuffle code whose compile time
+scaled superlinearly in W: 24s/62s/>180s at W=64/128/256 — unusable at
+the target W=480):
 
   * the input rides in THREE times with prev/this/next-strip index maps
     (the phase-head halo trick); a strip assembles ``RS + 2L`` source rows
-    by leading-dim concat of block slices — L halo rows per side because
-    each of the L layers' 3x3 convs shrinks row validity by one,
-  * halo rows are RECOMPUTED per strip (cheap: ``(RS+2L)/RS`` compute
-    overhead, and the garbage beyond each layer's shrinking validity
-    window is zeroed by multiplicative row masks — the masks double as
-    the conv's zero padding at the image border),
-  * each layer runs as two well-shaped matmuls: the 1x1 as
-    ``(R, width) @ (width, K)``, and the 3x3 OUTPUT-MAJOR like the phase
-    head's refine1: ``(R, K) @ (K, 9*growth)`` gives every position's
-    contribution to all 9 taps at once (128-deep contraction, 288 output
-    lanes — vs 9 matmuls into 32 lanes), followed by 9 shifted slice-adds,
-  * the concat is a VALUE (lane-dim concatenate per layer) — no
-    lane-offset masked stores; Mosaic keeps it in VMEM.
+    (L halo rows per side: each of the L layers' 3x3 convs shrinks row
+    validity by one). Halo rows are RECOMPUTED per strip — cheap,
+    ``(RS+2L)/RS`` compute overhead,
+  * each layer's 3x3 zero padding IS a multiplicative mask on its input
+    ``y2`` (the post-BN2-ReLU features): rows beyond the layer's
+    shrinking validity window or outside the image read as zero.
+    Masking anything EARLIER is insufficient — BN2's bias resurrects
+    zeroed rows to ``relu(b2)``,
+  * the tx taps fold into the contraction: ``y2cat = [y2 rolled +1, y2,
+    y2 rolled -1]`` (flat rolls = W shifts; the wrapped element lands
+    exactly on the W-border column the conv pads to zero, so the border
+    mask covers it) gives one lane-ALIGNED (R, 3K) @ (3K, 3G) matmul —
+    128-deep, 96-lane output (75% MXU lane use),
+  * the ty taps are row shifts = flat rolls by ±W (sublane-tile aligned
+    for W % 16 == 0): the roll's wrap corrupts only strip rows 0 and
+    rws-1, which the next layer's shrinking-window mask excludes and the
+    final ``[L, L+RS)`` output slice never reads,
+  * the growing concat lives in a VMEM feature scratch (R, c_max): each
+    layer reads the ``[:width]`` lane prefix and appends its slab with
+    one lane-range store.
 
 HBM traffic per block: read ``x`` once (plus the halo refetch), write the
 final buffer once — vs the XLA lowering's O(L^2) concat round trips.
 
 Inference-only, batch 1. Exactness is pinned against the flax DenseBlock
-in ``tests/test_fused.py`` (interpret mode = same code path on CPU).
+in ``tests/test_pallas_dense_block_strip.py`` (interpret mode = same code
+path on CPU).
 
 Reference parity: computes torchvision ``_DenseBlock`` semantics exactly
 (reference Dense_U_Net_lidar.py uses torchvision's densenet blocks via
@@ -50,78 +64,87 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _shift2d_read(x, sy, sx, dt):
-    """``y[r, w] = x[r + sy, w + sx]`` with zero fill (leading dim = rows,
-    middle dim = W, last dim = channels)."""
-    rws, w, c = x.shape
-    out = x
-    if sy == 1:
-        out = jnp.concatenate([out[1:], jnp.zeros((1, w, c), dt)], axis=0)
-    elif sy == -1:
-        out = jnp.concatenate([jnp.zeros((1, w, c), dt), out[:-1]], axis=0)
-    if sx == 1:
-        out = jnp.concatenate([out[:, 1:], jnp.zeros((rws, 1, c), dt)], axis=1)
-    elif sx == -1:
-        out = jnp.concatenate([jnp.zeros((rws, 1, c), dt), out[:, :-1]], axis=1)
-    return out
-
-
 def _strip_kernel(xm1, x0, xp1, g1_ref, b1_ref, w1_ref, g2_ref, b2_ref,
-                  w3s_ref, out_ref, *, rs, num_layers, c0, growth, h, w, dt):
+                  w3c_ref, out_ref, fbuf, *, rs, num_layers, c0, growth,
+                  h, w, dt):
     L = num_layers
     rws = rs + 2 * L
+    R = rws * w
     j0 = pl.program_id(0) * rs
 
-    # source rows l = 0..rws-1 <-> global rows j0 - L + l, assembled from
-    # the three halo'd fetches (prev/this/next strip; clamped index maps
-    # mean the edge programs re-fetch their own block — those rows are
-    # zeroed by the validity masks below, which is exactly conv padding)
-    feats = jnp.concatenate(
-        [xm1[rs - L:, :, :], x0[...], xp1[:L, :, :]], axis=0)
+    # flat source rows i = 0..R-1 <-> (global image row j0 - L + i // w,
+    # column i % w), assembled from the three halo'd fetches into the
+    # feature scratch's [0, c0) lanes (prev/this/next strip; clamped index
+    # maps mean the edge programs re-fetch their own block — those rows
+    # are out-of-image and the per-layer masks below zero them, which is
+    # exactly the conv's zero padding)
+    fbuf[0:L * w, 0:c0] = xm1[(rs - L) * w:, :]
+    fbuf[L * w:(L + rs) * w, 0:c0] = x0[...]
+    fbuf[(L + rs) * w:R, 0:c0] = xp1[0:L * w, :]
 
-    # global row index of each strip row, for the validity masks
-    gidx = j0 - L + jax.lax.broadcasted_iota(jnp.int32, (rws, 1, 1), 0)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    row = flat // w
+    gidx = j0 - L + row                 # global image row per position
+    col = flat - row * w                # W position per flat index
+    # W-border masks for the tx = 0 / 2 taps: the rolled-in neighbor does
+    # not exist at the image's left/right edge (and the roll's single
+    # wrapped element lands exactly there)
+    m_left = (col > 0).astype(jnp.float32)
+    m_right = (col < w - 1).astype(jnp.float32)
 
     for l in range(L):
         width = c0 + l * growth
         g1 = g1_ref[l, :].astype(jnp.float32)[:width]
         b1 = b1_ref[l, :].astype(jnp.float32)[:width]
-        act = jnp.maximum(feats.astype(jnp.float32) * g1 + b1, 0.0)
-        # rows valid for THIS layer's read: computed correctly so far
-        # (shrinking halo window) AND inside the image — everything else
-        # must read as zero, matching SAME-pad conv semantics at the border
-        lo = j0 - (L - l)
-        hi = j0 + rs + (L - l)
-        mask = ((gidx >= jnp.maximum(lo, 0)) & (gidx < jnp.minimum(hi, h)))
-        act = (act * mask.astype(jnp.float32)).astype(dt)
+        feats = fbuf[:, 0:width]
+        act = jnp.maximum(feats.astype(jnp.float32) * g1 + b1, 0.0).astype(dt)
 
         y1 = jax.lax.dot_general(
-            act.reshape(rws * w, width), w1_ref[l, :width, :],
+            act, w1_ref[l, :width, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                      # (R, K)
         g2 = g2_ref[l, :].astype(jnp.float32)
         b2 = b2_ref[l, :].astype(jnp.float32)
-        y2 = jnp.maximum(y1 * g2 + b2, 0.0).astype(dt)
+        y2 = jnp.maximum(y1 * g2 + b2, 0.0)
 
-        # 3x3 conv, output-major: contributions of every position to all
-        # nine (ty, tx) taps in one matmul, then shifted slice-adds
-        contrib = jax.lax.dot_general(
-            y2, w3s_ref[l],
+        # rows valid for THIS layer's 3x3 read: computed correctly so far
+        # (shrinking halo window) AND inside the image — everything else
+        # must read as zero, which is the conv's zero padding. The mask
+        # sits on y2 (the 3x3's input), NOT earlier: BN2's bias makes y2
+        # of a zeroed act row relu(b2) != 0.
+        lo = j0 - (L - l)
+        hi = j0 + rs + (L - l)
+        mask = ((gidx >= jnp.maximum(lo, 0)) & (gidx < jnp.minimum(hi, h)))
+        y2f = y2 * mask.astype(jnp.float32)
+
+        # tx taps as lanes: flat roll by +-1 IS the W shift; the wrap
+        # touches only the border column m_left/m_right zero anyway.
+        # Rolls stay f32 — Mosaic's dynamic_rotate has no 16-bit lowering.
+        left = (pltpu.roll(y2f, 1, 0) * m_left).astype(dt)   # (r, c-1)
+        right = (pltpu.roll(y2f, R - 1, 0) * m_right).astype(dt)
+        y2cat = jnp.concatenate(
+            [left, y2f.astype(dt), right], axis=-1)          # (R, 3K)
+
+        # ctr[:, ty*G:(ty+1)*G] = sum_tx y2[r, c+tx-1] @ w3[ty, tx] at the
+        # SOURCE row r; the ty shift happens on the output below
+        ctr = jax.lax.dot_general(
+            y2cat, w3c_ref[l],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(dt).reshape(rws, w, 9 * growth)
-        acc = jnp.zeros((rws, w, growth), jnp.float32)
-        for ty in range(3):
-            for tx in range(3):
-                t = ty * 3 + tx
-                sl = contrib[:, :, t * growth:(t + 1) * growth]
-                # out[r, w] += in[r + ty - 1, w + tx - 1] @ w3[ty, tx]
-                acc = acc + _shift2d_read(sl, ty - 1, tx - 1, dt).astype(
-                    jnp.float32)
-        feats = jnp.concatenate([feats, acc.astype(dt)], axis=-1)
+        )                                                      # (R, 3G)
 
-    out_ref[...] = feats[L:L + rs]
+        # ty taps: out[i] += ctr_ty[i + (ty-1)*w] — flat rolls by a
+        # multiple of w (sublane-aligned for w % 16 == 0). Wrap corrupts
+        # only strip rows 0 / rws-1: outside every later validity window
+        # and never in the [L, L+rs) output slice.
+        up = pltpu.roll(ctr, w, 0)                    # ctr[i - w]: ty = 0
+        down = pltpu.roll(ctr, R - w, 0)              # ctr[i + w]: ty = 2
+        acc = (up[:, 0:growth] + ctr[:, growth:2 * growth]
+               + down[:, 2 * growth:3 * growth])
+        fbuf[:, width:width + growth] = acc.astype(dt)
+
+    out_ref[...] = fbuf[L * w:(L + rs) * w, :]
 
 
 def pick_rs(h, num_layers, w, c0, growth, k, dtype_bytes=2,
@@ -134,22 +157,25 @@ def pick_rs(h, num_layers, w, c0, growth, k, dtype_bytes=2,
             continue
         rws = rs + 2 * num_layers
         r = rws * w
-        buf = r * c_max * dtype_bytes            # final concat value
+        buf = r * c_max * dtype_bytes            # feature scratch (fbuf)
         act = r * c_max * 4                      # widest f32 BN pass
         y1 = r * k * 4
-        contrib = r * 9 * growth * (dtype_bytes + 4)
+        y2cat = r * 3 * k * dtype_bytes
+        ctr = r * 3 * growth * 4
         io = (3 * rs * w * c0 + 2 * rs * w * c_max) * dtype_bytes
-        weights = num_layers * (c_max * k + 9 * k * growth) * dtype_bytes
-        if buf + act + y1 + contrib + io + weights <= vmem_budget:
+        weights = num_layers * (
+            c_max * k + 3 * k * 3 * growth) * dtype_bytes
+        if buf + act + y1 + y2cat + ctr + io + weights <= vmem_budget:
             return rs
     return None
 
 
 def eligible(batch, h, w, c0, growth, num_layers, bn_size, dtype_bytes=2):
     """Static check for the strip kernel's regime."""
+    w_tile = 16 if dtype_bytes == 2 else 8
     return (
         batch == 1
-        and c0 % 8 == 0 and growth % 8 == 0 and w % 8 == 0
+        and c0 % 8 == 0 and growth % 8 == 0 and w % w_tile == 0
         and pick_rs(h, num_layers, w, c0, growth, bn_size * growth,
                     dtype_bytes) is not None
     )
@@ -179,17 +205,18 @@ def dense_block_strip(x_nhwc, folded, *, num_layers, c0, growth, h, w,
         raise ValueError(f"no viable strip height for {h}x{w} c0={c0}")
     n_blocks = h // rs
 
-    # tap-stacked 3x3 weights, output-major: w3s[l, :, t*growth:...] is
-    # tap (ty, tx) with t = ty*3 + tx
-    w3s = jnp.transpose(folded["w3"], (0, 3, 1, 2, 4)).reshape(
-        num_layers, k, 9 * growth)
+    # tx-major stacked 3x3 weights: w3c[l, tx*K + k, ty*G + g] pairs the
+    # y2cat lane slab for tap tx with the output lane slab for tap ty.
+    # folded["w3"] is (L, ky, kx, K, G).
+    w3c = jnp.transpose(folded["w3"], (0, 2, 3, 1, 4)).reshape(
+        num_layers, 3 * k, 3 * growth)
 
-    x = x_nhwc.reshape(h, w, c0)
+    x = x_nhwc.reshape(h * w, c0)
 
     def shifted(shift):
         return pl.BlockSpec(
-            (rs, w, c0),
-            lambda i: (jnp.clip(i + shift, 0, n_blocks - 1), 0, 0))
+            (rs * w, c0),
+            lambda i: (jnp.clip(i + shift, 0, n_blocks - 1), 0))
 
     def w_spec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape))
@@ -207,10 +234,13 @@ def dense_block_strip(x_nhwc, folded, *, num_layers, c0, growth, h, w,
             w_spec((num_layers, c_max)), w_spec((num_layers, c_max)),
             w_spec((num_layers, c_max, k)),
             w_spec((num_layers, k)), w_spec((num_layers, k)),
-            w_spec((num_layers, k, 9 * growth)),
+            w_spec((num_layers, 3 * k, 3 * growth)),
         ],
-        out_specs=pl.BlockSpec((rs, w, c_max), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, w, c_max), dt),
+        out_specs=pl.BlockSpec((rs * w, c_max), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((h * w, c_max), dt),
+        scratch_shapes=[
+            pltpu.VMEM(((rs + 2 * num_layers) * w, c_max), dt),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=h * w * (3 * c0 + c_max) * np.dtype(dt).itemsize,
@@ -223,6 +253,6 @@ def dense_block_strip(x_nhwc, folded, *, num_layers, c0, growth, h, w,
     )(
         x, x, x,
         folded["g1"], folded["b1"], folded["w1"].astype(dt),
-        folded["g2"], folded["b2"], w3s.astype(dt),
+        folded["g2"], folded["b2"], w3c.astype(dt),
     )
     return out.reshape(1, h, w, c_max)

@@ -26,12 +26,21 @@ def _setup(num_layers, c0, growth, h, w, bn_size=4, seed=0):
     block = DenseBlock(num_layers=num_layers, growth_rate=growth,
                        bn_size=bn_size, drop_rate=0.0, dtype=jnp.float32)
     variables = block.init(jax.random.PRNGKey(0), x, False)
+    # randomize the BN scale/bias vectors (init's scale=1/bias=0 makes
+    # every folded BN2 bias negative, so relu(b2)=0 would mask the
+    # out-of-image zero-padding semantics this suite must pin — a border
+    # bug is only visible when some b2 > 0 resurrects zeroed rows)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape), a.dtype)
+        if a.ndim == 1 else a,
+        variables["params"],
+    )
     stats = jax.tree_util.tree_map(
         lambda a: jnp.asarray(
             np.abs(rng.normal(size=a.shape)) * 0.3 + 0.7, a.dtype),
         variables["batch_stats"],
     )
-    variables = {"params": variables["params"], "batch_stats": stats}
+    variables = {"params": params, "batch_stats": stats}
     return block, variables, x
 
 
