@@ -168,7 +168,10 @@ barrier("done")
 
 
 def test_two_process_full_train_step(tmp_path):
-    outs = _run_two_procs(tmp_path, _TRAIN_WORKER, timeout=560)
+    # two full-model train-step compiles contend for this host's single
+    # core: ~13 min when the suite runs alongside (passes standalone in
+    # ~9); the budget covers the loaded-host case
+    outs = _run_two_procs(tmp_path, _TRAIN_WORKER, timeout=1500)
     losses = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("MP_TRAIN_LOSS")]
