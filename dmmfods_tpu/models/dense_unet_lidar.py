@@ -135,6 +135,15 @@ class ModelSpec:
     # Pallas row-strip kernel in ops/pallas/phase_head.py; otherwise the
     # rows / single / slices XLA forms). Explicit values force one impl.
     phase_head_impl: str = "auto"
+    # batch-1 large-plane encoder stems as ONE Pallas row-strip kernel
+    # fusing conv0 (s2d form) + norm0 fold + relu0 + pool0
+    # (ops/pallas/stem_pool.py): the (H/2, W/2, F) stem plane never
+    # touches HBM and XLA's 3/1/12-channel b1 formatting disappears.
+    # MEASURED NEUTRAL at 1280x1920 b1 (two paired A/Bs: 33.63 vs 33.98
+    # and 33.79 vs 33.26 ms — inside chip variance; BASELINE.md r3), so
+    # 'auto' resolves to OFF per the measured-win-only gating policy.
+    # 'on' forces it (tests run interpret mode on CPU), 'off' disables.
+    stem_pool_strip: str = "auto"
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -186,6 +195,8 @@ class ModelSpec:
             kwargs["phase_head_impl"] = str(tpu.get("phase_head_impl", "auto"))
             kwargs["dense_block_strip"] = str(
                 tpu.get("dense_block_strip", "auto"))
+            kwargs["stem_pool_strip"] = str(
+                tpu.get("stem_pool_strip", "auto"))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -332,6 +343,25 @@ def _rows_ok(spec, batch: int, train: bool) -> bool:
     sel = spec.rows_blocks.strip().lower()
     return (sel not in ("", "none") and not train
             and batch <= spec.rows_max_batch)
+
+
+def _stem_pool_ok(spec, b: int, h: int, w: int, c: int, train: bool) -> bool:
+    """Whether the fused Pallas stem+pool0 strip kernel applies (see
+    ModelSpec.stem_pool_strip). Called by the encoders so they can skip
+    the separate pool0 when the stem already pooled."""
+    sel = str(spec.stem_pool_strip).strip().lower()
+    if sel in ("", "off", "none", "0", "false") or train:
+        return False
+    if b != 1:
+        return False
+    if sel == "auto":
+        # measured NEUTRAL in its target regime (full-res b1 — see
+        # ModelSpec.stem_pool_strip): auto keeps the XLA path
+        return False
+    from ..ops.pallas.stem_pool import eligible
+
+    return eligible(b, h, w, c, spec.num_init_features,
+                    jnp.dtype(spec.dtype).itemsize)
 
 
 def _region_active(spec, b: int, h: int, w: int, train: bool) -> bool:
@@ -682,10 +712,24 @@ class EncoderStem(nn.Module):
     rows: bool = False       # rows-as-batch lowering of the s2d conv (eval)
     rows_max_batch: int = 16
     rows_out: bool = False   # emit rows form (B*H/2, 1, W/2, F) — region mode
+    fuse_pool: bool = False  # run the Pallas stem+pool0 strip kernel and
+    #                          return the POOLED plane (caller skips pool0;
+    #                          set only when _stem_pool_ok said yes)
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_b, in_h, in_w = x.shape[0], x.shape[1], x.shape[2]
+        if self.fuse_pool and not self.is_initializing():
+            from ..ops.pallas.stem_pool import stem_pool_strip
+
+            w7 = self.variables["params"]["conv0"]["kernel"]
+            # declare/reuse the norm0 submodule for its folded (gamma, beta)
+            # — same params/stats as the standard path below
+            gamma, beta = TorchBatchNorm(
+                use_running_average=True, name="norm0", dtype=self.dtype,
+            )(jnp.zeros((1, self.num_init_features)), return_fold=True)
+            return stem_pool_strip(
+                x.astype(self.dtype), w7, gamma, beta)
         conv = nn.Conv(
             self.num_init_features, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
             use_bias=False, kernel_init=_CONV_INIT, name="conv0", dtype=self.dtype,
@@ -695,24 +739,15 @@ class EncoderStem(nn.Module):
         if (use_s2d and not self.is_initializing()
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
             from ..ops.fused import space_to_depth_2x
+            from ..ops.pallas.stem_pool import s2d_conv0_weight
 
             w7 = self.variables["params"]["conv0"]["kernel"]
             c = x.shape[-1]
             f = self.num_init_features
-            w4 = jnp.zeros((4, 4, 4 * c, f), w7.dtype)
             # tap (dy, dx) of the 7x7 kernel reads source pixel
             # (2i + dy - 3): in block space that is block offset
             # a' = floor((dy - 3) / 2) in [-2, 1] and phase py = (dy - 3) & 1
-            for a in range(4):
-                for b in range(4):
-                    for py in (0, 1):
-                        for px in (0, 1):
-                            dy = 2 * (a - 2) + py + 3
-                            dx = 2 * (b - 2) + px + 3
-                            if 0 <= dy < 7 and 0 <= dx < 7:
-                                ch = (py * 2 + px) * c
-                                w4 = w4.at[a, b, ch:ch + c, :].set(w7[dy, dx])
-            w4 = w4.astype(self.dtype)
+            w4 = s2d_conv0_weight(w7, c, f).astype(self.dtype)
             if (self.rows and not train
                     and x.shape[0] <= self.rows_max_batch):
                 # rows-as-batch: s2d via H-pair reshapes + unit slices, the
@@ -785,19 +820,25 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         spec = self.spec
-        b, in_h = x.shape[0], x.shape[1]
+        b, in_h, in_w = x.shape[0], x.shape[1], x.shape[2]
         region = (_region_active(spec, b, in_h, x.shape[2], train)
                   and not self.is_initializing())
+        fuse_pool = (not region and not self.is_initializing()
+                     and _stem_pool_ok(spec, b, in_h, in_w, x.shape[3], train))
         x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
                         rows=region or _rows_ok(spec, b, train),
                         rows_max_batch=spec.rows_max_batch,
                         rows_out=region,
+                        fuse_pool=fuse_pool,
                         name="stem")(x, train)
         if region:
             h_cur = in_h // 2
             shapes = [(h_cur, x.shape[2])]  # pre-pool0 spatial size
             x = _maxpool_3x3_s2_p1_rows_io(x, b, h_cur)
             h_cur //= 2
+        elif fuse_pool:
+            h_cur = None
+            shapes = [(in_h // 2, in_w // 2)]  # pre-pool0 spatial size
         else:
             h_cur = None
             shapes = [(x.shape[1], x.shape[2])]  # (model:248-249)
@@ -1278,19 +1319,26 @@ class DenseUNetLidar(nn.Module):
         """Main-stream encoder with the mid-fusion concat inserted right after
         ``transition{concat_before_block_num - 1}`` (reference model:53,242-245)."""
         spec = self.spec
-        b, in_h = enc_in.shape[0], enc_in.shape[1]
+        b, in_h, in_w = enc_in.shape[0], enc_in.shape[1], enc_in.shape[2]
         region = (_region_active(spec, b, in_h, enc_in.shape[2], train)
                   and not self.is_initializing())
+        fuse_pool = (not region and not self.is_initializing()
+                     and _stem_pool_ok(spec, b, in_h, in_w,
+                                       enc_in.shape[3], train))
         x = EncoderStem(spec.num_init_features, spec.dtype, spec.s2d_stem,
                         rows=region or _rows_ok(spec, b, train),
                         rows_max_batch=spec.rows_max_batch,
                         rows_out=region,
+                        fuse_pool=fuse_pool,
                         name="features_stem")(enc_in, train)
         if region:
             h_cur = in_h // 2
             shapes = [(h_cur, x.shape[2])]
             x = _maxpool_3x3_s2_p1_rows_io(x, b, h_cur)
             h_cur //= 2
+        elif fuse_pool:
+            h_cur = None
+            shapes = [(in_h // 2, in_w // 2)]
         else:
             h_cur = None
             shapes = [(x.shape[1], x.shape[2])]

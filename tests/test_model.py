@@ -589,3 +589,27 @@ def test_dense_block_strip_full_model_matches():
     assert out_b.shape == out_a.shape
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stem_pool_strip_full_model_matches():
+    """Full-model eval parity with the fused Pallas stem+pool0 kernel
+    forced on (interpret mode on CPU — the identical kernel code path the
+    TPU compiles) for BOTH streams of the mid-fusion model."""
+    rgb = jax.random.normal(jax.random.PRNGKey(33), (1, 64, 96, 3))
+    lidar = jax.random.normal(jax.random.PRNGKey(34), (1, 64, 96, 1))
+    spec_a = _tiny_spec(stem_pool_strip="off")
+    spec_b = _tiny_spec(stem_pool_strip="on")
+    mod_a, mod_b = DenseUNetLidar(spec_a), DenseUNetLidar(spec_b)
+    variables = mod_a.init(jax.random.PRNGKey(0), rgb, lidar, False)
+    # non-trivial norm0 stats so the BN fold (and its pool-mask
+    # interaction at the image borders) is actually exercised
+    variables = jax.tree_util.tree_map(
+        lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
+        % 1.7 if a.ndim == 1 else a,
+        variables,
+    )
+    out_a = mod_a.apply(variables, rgb, lidar, False)
+    out_b = mod_b.apply(variables, rgb, lidar, False)
+    assert out_b.shape == out_a.shape
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-4, atol=1e-4)

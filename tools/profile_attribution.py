@@ -102,7 +102,7 @@ def trace_and_attribute(fn, args, steps=3, top=28):
 
 def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
                   h=1280, w=1920, arch="121", s2d=False, rows="none",
-                  region="off", strip="auto"):
+                  region="off", strip="auto", stem_pool="auto"):
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +123,7 @@ def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
     cfg.tpu.rows_blocks = rows
     cfg.tpu.rows_region = region
     cfg.tpu.dense_block_strip = strip
+    cfg.tpu.stem_pool_strip = stem_pool
     if impl:
         cfg.tpu.dense_block_impl = impl
     ctor = densenet201_u_lidar if arch == "201" else densenet121_u_lidar
