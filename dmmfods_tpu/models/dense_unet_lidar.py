@@ -144,6 +144,12 @@ class ModelSpec:
     # 'auto' resolves to OFF per the measured-win-only gating policy.
     # 'on' forces it (tests run interpret mode on CPU), 'off' disables.
     stem_pool_strip: str = "auto"
+    # training-only: route the decoder stages' BNs (norm0 sits on the
+    # skip-concat fan-out) through the analytic custom-VJP backward
+    # (ops/normalization.bn_train_apply). The GLOBAL flip is a measured
+    # negative (blocks dense-block backward fusion); this selective form
+    # is A/B'd on its own — see BASELINE.md r3 training section.
+    decoder_bn_vjp: bool = False
 
     def impl_for_block(self, i: int) -> str:
         impls = self.dense_block_impl.split(",")
@@ -197,6 +203,7 @@ class ModelSpec:
                 tpu.get("dense_block_strip", "auto"))
             kwargs["stem_pool_strip"] = str(
                 tpu.get("stem_pool_strip", "auto"))
+            kwargs["decoder_bn_vjp"] = bool(tpu.get("decoder_bn_vjp", False))
         kwargs.update(overrides)
         return cls(**kwargs)
 
@@ -1030,6 +1037,9 @@ class DecoderStage(nn.Module):
     rows_min_pixels: int = 16384
     rows_small_max_pixels: int = 2048
     rows_max_batch: int = 16
+    # selective analytic-backward BN (norm0 sits on the skip-concat
+    # fan-out); A/B'd independently of the global normalization flag
+    bn_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, skip, target_hw, train: bool, rows_meta=None,
@@ -1056,13 +1066,15 @@ class DecoderStage(nn.Module):
             b, hin = x.shape[0], x.shape[1]
             if rows:
                 x = x.reshape(b * hin, 1, x.shape[2], x.shape[-1])
-        x = TorchBatchNorm(use_running_average=not train, name="norm0", dtype=self.dtype)(x)
+        x = TorchBatchNorm(use_running_average=not train, name="norm0",
+                           dtype=self.dtype, custom_vjp=self.bn_vjp)(x)
         x = nn.relu(x)
         x = nn.Conv(
             self.features, (1, 1), use_bias=False,
             kernel_init=_CONV_INIT, name="conv_reduce", dtype=self.dtype,
         )(x)
-        x = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
+        x = TorchBatchNorm(use_running_average=not train, name="norm1",
+                           dtype=self.dtype, custom_vjp=self.bn_vjp)(x)
         x = nn.relu(x)
         return ConvTransposeToShape(self.features, self.dtype, name="transp_conv")(
             x, target_hw, rows_meta=(b, hin) if rows else None,
@@ -1297,6 +1309,7 @@ class DenseUNetLidar(nn.Module):
                 rows_min_pixels=spec.rows_min_pixels,
                 rows_small_max_pixels=spec.rows_small_max_pixels,
                 rows_max_batch=spec.rows_max_batch,
+                bn_vjp=spec.decoder_bn_vjp and train,
                 name=f"up{i + 1}",
             )(x, skip, target_hw, train,
               rows_meta=(b, h_cur) if region else None,

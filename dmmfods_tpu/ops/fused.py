@@ -20,6 +20,7 @@ so the concat buffer never needs to exist. This module provides that fusion:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -315,6 +316,74 @@ def phase_head_norm1_stats_strips(P, hh, hw, c_mid):
     return mean, var, n
 
 
+# The hand backward below (full-lane tap-stacked matmuls) vs XLA autodiff
+# of the same conv — A/B'd on v5e at b128 (see BASELINE.md r3 training
+# section); the primal is the identical HLO either way.
+REFINE1_CUSTOM_VJP = os.environ.get("DMMFODS_REFINE1_VJP", "1") != "0"
+
+
+def _refine1_conv4x4_primal(pn, w4, dt):
+    return jax.lax.conv_general_dilated(
+        pn, w4.astype(dt), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _refine1_conv4x4(pn, w4, dt):
+    """The head's 4x4 refine1 conv with a full-MXU-lane hand backward.
+
+    The primal is bit-identical to the plain ``conv_general_dilated`` (same
+    op). Why the custom backward exists: the conv has only ``4*n_cls`` (=12)
+    output channels, so XLA's input-gradient (a transposed conv contracting
+    over K=12) and weight-gradient (a contraction with N=12) both run
+    lane-starved on the MXU (~60 TF/s profiled at b128 vs ~110 for the
+    head's other convs). The hand backward stacks the 16 spatial taps of
+    the cotangent into the CHANNEL dim (``g16``: 16*n_cls = 192 lanes, pure
+    data movement) and computes both gradients as full-lane matmuls:
+
+      dpn[b,p,q,c] = sum_t g16[b,p,q,t*n:(t+1)*n] @ w4[ty,tx,c,:]^T
+      dw4[ty,tx,c,n] = sum_{b,p,q} pn[b,p,q,c] * g16[b,p,q,t*n+n]
+
+    Exact same contractions as the conv gradients (f32 accumulation),
+    reassociated; pinned by ``test_fused.py::test_refine1_conv4x4_vjp``.
+    """
+    return _refine1_conv4x4_primal(pn, w4, dt)
+
+
+def _refine1_conv4x4_fwd(pn, w4, dt):
+    return _refine1_conv4x4_primal(pn, w4, dt), (pn, w4)
+
+
+def _refine1_conv4x4_bwd(dt, res, g):
+    pn, w4 = res
+    b, h1, w1_, c4 = pn.shape
+    n4 = w4.shape[-1]
+    # g16[b, p, q, (4*ty+tx)*n4 + n] = g[b, p - ty + 1, q - tx + 1, n]
+    # (zero where the index leaves g — the conv's pad-(1,1) zero halo)
+    gp = jnp.pad(g, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    g16 = jnp.concatenate(
+        [gp[:, 3 - ty:3 - ty + h1, 3 - tx:3 - tx + w1_, :]
+         for ty in range(4) for tx in range(4)], axis=-1,
+    )                                                   # (B, h1, w1, 16*n4)
+    wt = jnp.transpose(w4, (0, 1, 3, 2)).reshape(16 * n4, c4)
+    dpn = jax.lax.dot_general(
+        g16, wt.astype(g16.dtype), (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(pn.dtype)
+    dwt = jax.lax.dot_general(
+        pn.reshape(-1, c4), g16.reshape(-1, 16 * n4),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                                   # (c4, 16*n4)
+    dw4 = jnp.transpose(
+        dwt.reshape(c4, 16, n4), (1, 0, 2)
+    ).reshape(4, 4, c4, n4).astype(w4.dtype)
+    return dpn, dw4
+
+
+_refine1_conv4x4.defvjp(_refine1_conv4x4_fwd, _refine1_conv4x4_bwd)
+
+
 def phase_head_refine1_single(P, g1, b1, w1p, dt, hh, hw, c_mid):
     """``P`` -> full-res logits as ONE structured 4x4 conv (train path).
 
@@ -349,10 +418,8 @@ def phase_head_refine1_single(P, g1, b1, w1p, dt, hh, hw, c_mid):
             p = 2 * pu + pv
             ch = slice(p * c_mid, (p + 1) * c_mid)
             w4 = w4.at[pu:pu + 3, pv:pv + 3, ch, :].set(w1p[:, :, ch, :])
-    out12 = jax.lax.conv_general_dilated(
-        pn, w4.astype(dt), (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )                                                                # (B, hh, hw, 4n_cls)
+    conv = _refine1_conv4x4 if REFINE1_CUSTOM_VJP else _refine1_conv4x4_primal
+    out12 = conv(pn, w4, dt)                                         # (B, hh, hw, 4n_cls)
     return depth_to_space_2x(out12)
 
 

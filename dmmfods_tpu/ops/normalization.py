@@ -124,6 +124,11 @@ class TorchBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    # Per-instance opt-in to the analytic custom-VJP backward (the GLOBAL
+    # flip above is a measured negative, but callers whose BN sits on a
+    # concat fan-out — where XLA's autodiff emits two full-size cotangent
+    # accumulations — can enable it selectively; see DecoderStage).
+    custom_vjp: bool = False
 
     @nn.compact
     def __call__(self, x, *, stats_override=None, virtual_n=None,
@@ -168,7 +173,7 @@ class TorchBatchNorm(nn.Module):
                 n = virtual_n
             else:
                 n = x.size // features
-                if USE_CUSTOM_VJP and not return_fold:
+                if (USE_CUSTOM_VJP or self.custom_vjp) and not return_fold:
                     # stats + folded apply in one custom-VJP op (analytic
                     # backward — see bn_train_apply); primal bit-identical
                     # to the expression below

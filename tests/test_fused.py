@@ -171,3 +171,31 @@ def test_phase_head_train_matches_plain():
 
     compare(g1, g2, 2e-3, 1e-3)
     compare(s1, s2, 1e-4, 1e-4)
+
+
+def test_refine1_conv4x4_vjp_matches_autodiff():
+    """The hand backward of the head's 4x4 refine1 conv (tap-stacked
+    cotangent, full-lane matmuls) == XLA autodiff of the same conv."""
+    from dmmfods_tpu.ops.fused import _refine1_conv4x4, _refine1_conv4x4_primal
+
+    rng = np.random.default_rng(11)
+    B, h1, w1, c4, n4 = 2, 9, 13, 32, 12
+    pn = jnp.asarray(rng.normal(size=(B, h1, w1, c4)), jnp.float32)
+    w4 = jnp.asarray(rng.normal(size=(4, 4, c4, n4)), jnp.float32)
+    cot = jnp.asarray(rng.normal(size=(B, h1 - 1, w1 - 1, n4)), jnp.float32)
+
+    def loss(fn, pn, w4):
+        return jnp.sum(fn(pn, w4, jnp.float32) * cot)
+
+    l_ref, (dp_ref, dw_ref) = jax.value_and_grad(
+        lambda a, b: loss(_refine1_conv4x4_primal, a, b), argnums=(0, 1)
+    )(pn, w4)
+    l_vjp, (dp, dw) = jax.value_and_grad(
+        lambda a, b: loss(_refine1_conv4x4, a, b), argnums=(0, 1)
+    )(pn, w4)
+
+    np.testing.assert_allclose(float(l_ref), float(l_vjp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(dp_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-5, atol=1e-4)
