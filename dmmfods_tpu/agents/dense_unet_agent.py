@@ -79,8 +79,7 @@ class Dense_U_Net_lidar_Agent:
         self.tx = trainer_lib.make_optimizer(self.config)
         self.state = trainer_lib.create_train_state(self.model, self.tx)
         if self.mesh is not None:
-            replicated = mesh_lib.replicated(self.mesh)
-            self.state = jax.device_put(self.state, replicated)
+            self.state = mesh_lib.place_replicated_state(self.state, self.mesh)
 
         # step selection: dense offline tensors (reference-equivalent) vs
         # raw records with north-star preprocessing (heat maps rasterized
@@ -137,11 +136,23 @@ class Dense_U_Net_lidar_Agent:
     # ------------------------------------------------------------------
 
     def save_checkpoint(self, filename="checkpoint", is_best=False):
+        params, batch_stats, opt_state = (
+            self.state.params, self.state.batch_stats, self.state.opt_state
+        )
+        if jax.process_count() > 1:
+            # single-writer on shared storage: the state is fully replicated,
+            # so process 0 materializes it host-side and writes alone — no
+            # cross-process orbax coordination needed
+            if jax.process_index() != 0:
+                return None
+            params, batch_stats, opt_state = jax.tree_util.tree_map(
+                np.asarray, (params, batch_stats, opt_state)
+            )
         return ckpt_lib.save_checkpoint(
             self.config,
-            params=self.state.params,
-            batch_stats=self.state.batch_stats,
-            opt_state=self.state.opt_state,
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
             epoch=self.current_epoch,
             train_iteration=self.current_train_iteration,
             val_iteration=self.current_val_iteration,
@@ -156,6 +167,11 @@ class Dense_U_Net_lidar_Agent:
             "batch_stats": self.state.batch_stats,
             "opt_state": self.state.opt_state,
         }
+        if jax.process_count() > 1:
+            # every process restores host-side from shared storage (the
+            # replicated template leaves are fully addressable), then
+            # re-places without broadcast below
+            template = jax.tree_util.tree_map(np.asarray, template)
         restored = ckpt_lib.load_checkpoint(self.config, template=template, filename=filename)
         if restored is None:
             self.logger.info("**First time to train**")
@@ -173,9 +189,7 @@ class Dense_U_Net_lidar_Agent:
         if self.mesh is not None:
             # orbax restores to default single-device placement; the steps
             # expect mesh-replicated state alongside mesh-sharded batches
-            self.state = jax.device_put(
-                self.state, mesh_lib.replicated(self.mesh)
-            )
+            self.state = mesh_lib.place_replicated_state(self.state, self.mesh)
         self.logger.info(
             "Checkpoint loaded successfully from %s at (epoch %d) at (iteration %d)",
             self.config.dir.current_run.checkpoints,
@@ -240,9 +254,13 @@ class Dense_U_Net_lidar_Agent:
         self.val_summary_writer.close()
 
     def _put(self, batch):
-        if self.mesh is not None:
-            return mesh_lib.shard_mixed_batch(batch, self.mesh)
-        return batch
+        if self.mesh is None:
+            return batch
+        if jax.process_count() > 1:
+            # multi-host: this host's loader supplies only its local rows of
+            # the global batch; stitch them into one global sharded array
+            return mesh_lib.shard_host_local_mixed_batch(batch, self.mesh)
+        return mesh_lib.shard_mixed_batch(batch, self.mesh)
 
     def train_one_epoch(self):
         # profiling hook (SURVEY.md §5.1 rebuild): trace a few steps of the
@@ -285,10 +303,14 @@ class Dense_U_Net_lidar_Agent:
         self._log_epoch("Training", epoch_metrics)
 
     def validate(self):
+        from .. import metrics as metrics_lib
+
         epoch_metrics = []
+        epoch_ap = metrics_lib.StreamingAP(self.config.model.num_classes)
         for batch in self.data_loader.valid_loader:
             batch = self._put(batch)
-            m = self.eval_step(self.state, *batch)
+            m = dict(self.eval_step(self.state, *batch))
+            epoch_ap.update(m.pop("ap_bin_counts"))
             epoch_metrics.append(m)
             self.val_summary_writer.add_class_scalars(
                 "Validation/Loss", m["loss_per_class"], self.current_val_iteration
@@ -305,10 +327,18 @@ class Dense_U_Net_lidar_Agent:
                 )
             self.current_val_iteration += 1
 
+        # dataset-level pooled AP: the north-star parity metric at epoch
+        # granularity — AP over every pixel of the val set, not a mean of
+        # per-batch APs
+        self.epoch_ap_per_class = epoch_ap.result()
+        self.val_summary_writer.add_class_scalars(
+            "Validation/EpochAP", self.epoch_ap_per_class, self.current_epoch
+        )
         self.val_summary_writer.flush()
-        return self._log_epoch("Validation", epoch_metrics)
+        return self._log_epoch("Validation", epoch_metrics,
+                               epoch_ap=self.epoch_ap_per_class)
 
-    def _log_epoch(self, phase, epoch_metrics):
+    def _log_epoch(self, phase, epoch_metrics, epoch_ap=None):
         """Epoch summary log (reference agent:301-307,388-394). Returns the
         per-class epoch-average IoU."""
         if not epoch_metrics:
@@ -317,11 +347,15 @@ class Dense_U_Net_lidar_Agent:
         iou = np.mean([np.asarray(m["iou_per_class"]) for m in epoch_metrics], axis=0)
         nans = np.sum([np.asarray(m["iou_nans"]) for m in epoch_metrics], axis=0)
         acc = np.mean([np.asarray(m["acc_per_class"]) for m in epoch_metrics], axis=0)
+        ap_part = (
+            " | Dataset AP: %s" % np.asarray(epoch_ap).tolist()
+            if epoch_ap is not None else ""
+        )
         self.logger.info(
             "%s at Epoch-%d | Average Loss: %s | Average IoU: %s | "
-            "Number of NaNs: %s | Average Accuracy: %s | mean step %.4fs",
+            "Number of NaNs: %s | Average Accuracy: %s | mean step %.4fs%s",
             phase, self.current_epoch, loss.tolist(), iou.tolist(),
-            nans.tolist(), acc.tolist(), self.step_timer.mean,
+            nans.tolist(), acc.tolist(), self.step_timer.mean, ap_part,
         )
         return iou
 

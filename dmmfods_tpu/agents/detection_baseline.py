@@ -167,11 +167,13 @@ class DetectionBaselineAgent:
         detector's instances against the torchvision-style targets."""
         num_classes = self.config.model.num_classes
         totals = None
+        ap_acc = InstanceAPAccumulator(num_classes)
         for image, lidar, ht_map, targets in detection_loader:
             preds = self.detector(image, lidar if self.use_lidar else None)
             preds = [
                 {k: np.asarray(v) for k, v in p.items()} for p in preds
             ]
+            ap_acc.update(preds, targets)
             r = evaluate_instance_masks(preds, targets, num_classes)
             if totals is None:
                 totals = {k: np.zeros_like(np.asarray(v, np.float64))
@@ -187,12 +189,15 @@ class DetectionBaselineAgent:
             "mask_iou_per_class": totals["mask_iou_per_class"] / denom,
             "recall_per_class": totals["recall_per_class"] / denom,
             "num_instances_per_class": totals["num_instances_per_class"],
+            "map50_per_class": ap_acc.result(),
         }
         self.logger.info(
-            "Instance validation | mask IoU: %s | recall: %s | instances: %s",
+            "Instance validation | mask IoU: %s | recall: %s | instances: %s"
+            " | mAP@0.5: %s",
             result["mask_iou_per_class"].tolist(),
             result["recall_per_class"].tolist(),
             result["num_instances_per_class"].tolist(),
+            result["map50_per_class"].tolist(),
         )
         return result
 
@@ -242,6 +247,76 @@ def evaluate_instance_masks(preds, targets, num_classes=3, *,
         "recall_per_class": matched / denom,
         "num_instances_per_class": count,
     }
+
+
+class InstanceAPAccumulator:
+    """Dataset-level instance mAP@``match_iou`` over scored mask detections —
+    the standard comparison metric for Faster/Mask-R-CNN-style baselines
+    (the reference's torchvision baseline would be scored this way).
+
+    Greedy COCO-style matching per sample and class: predictions sorted by
+    descending score each claim the unmatched GT with the highest mask IoU
+    (a claim needs IoU >= ``match_iou``); TP/FP decisions plus scores stream
+    into per-class lists, and :meth:`result` finishes the exact PR-curve
+    area (precision-at-each-TP / num GT)."""
+
+    def __init__(self, num_classes=3, *, match_iou=0.5, mask_threshold=0.5):
+        self.num_classes = num_classes
+        self.match_iou = match_iou
+        self.mask_threshold = mask_threshold
+        self.scores = [[] for _ in range(num_classes)]
+        self.is_tp = [[] for _ in range(num_classes)]
+        self.num_gt = np.zeros(num_classes, np.int64)
+
+    def update(self, preds, targets):
+        """``preds``/``targets`` as in :func:`evaluate_instance_masks`;
+        ``preds[i]['scores']`` defaults to all-ones when absent."""
+        for p, t in zip(preds, targets):
+            pred_masks = np.asarray(p["masks"]) >= self.mask_threshold
+            pred_labels = np.asarray(p["labels"])
+            scores = np.asarray(
+                p.get("scores", np.ones(len(pred_labels), np.float32))
+            )
+            gt_masks = np.asarray(t.masks) >= self.mask_threshold
+            gt_labels = np.asarray(t.labels)
+            for cls in range(self.num_classes):
+                self.num_gt[cls] += int((gt_labels == cls).sum())
+                gt_idx = np.flatnonzero(gt_labels == cls)
+                taken = np.zeros(len(gt_idx), bool)
+                sel = np.flatnonzero(pred_labels == cls)
+                for pi in sel[np.argsort(-scores[sel])]:
+                    pm = pred_masks[pi]
+                    best_iou, best_j = 0.0, -1
+                    for j, gi in enumerate(gt_idx):
+                        if taken[j]:
+                            continue
+                        gm = gt_masks[gi]
+                        union = np.logical_or(pm, gm).sum()
+                        iou = (np.logical_and(pm, gm).sum() / union
+                               if union else 0.0)
+                        if iou > best_iou:
+                            best_iou, best_j = iou, j
+                    tp = best_iou >= self.match_iou
+                    if tp:
+                        taken[best_j] = True
+                    self.scores[cls].append(float(scores[pi]))
+                    self.is_tp[cls].append(bool(tp))
+
+    def result(self):
+        """Per-class AP (C,): area under the exact stepwise PR curve."""
+        ap = np.zeros(self.num_classes, np.float32)
+        for cls in range(self.num_classes):
+            if self.num_gt[cls] == 0:
+                continue
+            if not self.scores[cls]:
+                ap[cls] = 0.0
+                continue
+            order = np.argsort(-np.asarray(self.scores[cls]))
+            tp = np.asarray(self.is_tp[cls], np.float64)[order]
+            tp_cum = np.cumsum(tp)
+            precision = tp_cum / np.arange(1, len(tp) + 1)
+            ap[cls] = float(np.sum(precision * tp) / self.num_gt[cls])
+        return ap
 
 
 class DetectionAgent:

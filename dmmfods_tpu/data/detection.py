@@ -40,18 +40,32 @@ class DetectionWaymoDataset(WaymoDataset):
         self.minibatch_size = minibatch_size or config.dataset.batch_size
         self._file_batch = None  # (image, lidar, ht, labels) of current file
         self._file_idx = -1
+        self._samples_per_file = None
 
     def minibatches_per_file(self):
-        # serialized batch of 32 -> 32 / minibatch_size slices
-        probe = super().get_batch(0)
-        return probe[0].shape[0] // self.minibatch_size
+        # serialized batch (32 in the reference layout, probed from the
+        # actual file) -> samples / minibatch_size slices
+        if self._samples_per_file is None:
+            self._samples_per_file = super().get_batch(0)[0].shape[0]
+        return self._samples_per_file // self.minibatch_size
+
+    def shuffle_order(self, rng):
+        """Epoch shuffle that stays FILE-major: permute files, then slots
+        within each file — random training order without thrashing the
+        one-file batch cache (a flat index shuffle would reload a 32-sample
+        file for nearly every minibatch)."""
+        per_file = self.minibatches_per_file()
+        out = []
+        for f in rng.permutation(len(self.files)):
+            for s in rng.permutation(per_file):
+                out.append(int(f) * per_file + int(s))
+        return np.asarray(out)
 
     def __len__(self):
-        per_file = 32 // self.minibatch_size
-        return len(self.files) * per_file
+        return len(self.files) * self.minibatches_per_file()
 
     def __getitem__(self, idx):
-        per_file = 32 // self.minibatch_size
+        per_file = self.minibatches_per_file()
         file_idx, slot = divmod(idx, per_file)
         if file_idx != self._file_idx:
             image, lidar, ht = super().get_batch(file_idx)
@@ -77,7 +91,14 @@ class DetectionWaymoLoader:
         if self.mode == "train":
             train_set = DetectionWaymoDataset("train", config, minibatch_size)
             valid_set = DetectionWaymoDataset("val", config, minibatch_size)
-            self.train_loader = PrefetchLoader(train_set)
+            # epoch-reshuffled training order (file-major, see
+            # DetectionWaymoDataset.shuffle_order). The reference only
+            # shuffles once at serialization time (helper.py:687), so its
+            # detection training sees a fixed order every epoch — fixed here.
+            self.train_loader = PrefetchLoader(
+                train_set, shuffle=True,
+                seed=config.agent.get("seed", 0),
+            )
             self.valid_loader = PrefetchLoader(valid_set)
             self.train_iterations = len(train_set)
             self.valid_iterations = len(valid_set)

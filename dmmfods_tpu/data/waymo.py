@@ -257,7 +257,14 @@ class PrefetchLoader:
     def _index_groups(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(idx)
+            # datasets whose items alias larger on-disk units (e.g. the
+            # detection adapter's 32-sample files) expose `shuffle_order` to
+            # keep the shuffled order unit-major — random but cache-friendly
+            order = getattr(self.dataset, "shuffle_order", None)
+            if order is not None:
+                idx = np.asarray(order(self._rng))
+            else:
+                self._rng.shuffle(idx)
         if self.dataset.data_is_batched or self.batch_size in (None, 1):
             return [[i] for i in idx]
         groups = [

@@ -130,3 +130,87 @@ def heatmap_average_precision(ground_truth, logits, gt_threshold=0.7):
         )
 
     return jax.vmap(ap_one)(scores, gt)
+
+
+# ---------------------------------------------------------------------------
+# dataset-level (pooled) AP: bounded-memory streaming across batches
+# ---------------------------------------------------------------------------
+#
+# A mean of per-batch APs is NOT the AP of the whole val set — AP is a global
+# sort over every scored pixel. Holding every pixel of an epoch is unbounded,
+# so the epoch metric streams fixed-size per-class score histograms instead:
+# each batch contributes (positives, totals) counts over NUM_AP_BINS uniform
+# sigmoid-probability bins (a jit-compiled device reduction), the host sums
+# them (integer addition — exact, order-independent), and the final AP is the
+# standard tie-aware PR-curve area over the binned thresholds:
+#
+#     AP = (1/P) * sum over bins b (descending score) of
+#              pos_b * TP_cum(b) / N_cum(b)
+#
+# which equals sklearn's `average_precision_score` computed on quantized
+# scores, and equals `heatmap_average_precision` on the concatenated pixels
+# EXACTLY whenever no two pixels share a bin (pinned by
+# `test_metrics_losses.py::test_streaming_ap_equals_pooled_exact`); otherwise
+# the difference is bounded by the bin width (2**-15 in probability).
+
+NUM_AP_BINS = 1 << 15
+
+
+def binned_ap_counts(ground_truth, logits, gt_threshold=0.7, num_bins=NUM_AP_BINS):
+    """Per-batch streaming-AP contribution: ``(B, H, W, C) x2 ->
+    (2, C, num_bins) int32`` — ``[0]`` positives per score bin, ``[1]`` all
+    pixels per score bin. Bin index = ``floor(sigmoid(logit) * num_bins)``
+    (clipped), so bin ``num_bins - 1`` holds the highest scores."""
+    num_classes = ground_truth.shape[-1]
+    gt = (ground_truth >= gt_threshold).reshape(-1, num_classes).T  # (C, N)
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32)).reshape(-1, num_classes).T
+    bins = jnp.clip((probs * num_bins).astype(jnp.int32), 0, num_bins - 1)
+    # one flat segment-sum over C*num_bins segments covers all classes
+    class_offset = (jnp.arange(num_classes, dtype=jnp.int32) * num_bins)[:, None]
+    flat_ids = (bins + class_offset).reshape(-1)
+    tot = jax.ops.segment_sum(
+        jnp.ones_like(flat_ids), flat_ids, num_segments=num_classes * num_bins
+    )
+    pos = jax.ops.segment_sum(
+        gt.reshape(-1).astype(jnp.int32), flat_ids,
+        num_segments=num_classes * num_bins,
+    )
+    return jnp.stack([pos, tot]).reshape(2, num_classes, num_bins)
+
+
+def ap_from_binned_counts(counts):
+    """Finish a streamed AP: summed ``(2, C, num_bins)`` counts -> ``(C,)``
+    AP. Pure numpy (runs on the host once per epoch)."""
+    import numpy as np
+
+    pos = np.asarray(counts[0], np.float64)
+    tot = np.asarray(counts[1], np.float64)
+    # descending score = descending bin index
+    pos_desc = pos[:, ::-1]
+    tp_cum = np.cumsum(pos_desc, axis=1)
+    n_cum = np.cumsum(tot[:, ::-1], axis=1)
+    precision = tp_cum / np.maximum(n_cum, 1.0)
+    positives = tp_cum[:, -1]
+    ap = np.sum(pos_desc * precision, axis=1) / np.maximum(positives, 1.0)
+    return np.where(positives > 0, ap, 0.0).astype(np.float32)
+
+
+class StreamingAP:
+    """Epoch-level pooled heat-map AP accumulator (host side).
+
+    Feed each batch's ``binned_ap_counts`` output to :meth:`update`; call
+    :meth:`result` for the per-class AP over every pixel seen. Memory is a
+    fixed ``(2, C, num_bins)`` int64 array regardless of epoch size."""
+
+    def __init__(self, num_classes=3, num_bins=NUM_AP_BINS):
+        import numpy as np
+
+        self.counts = np.zeros((2, num_classes, num_bins), np.int64)
+
+    def update(self, batch_counts):
+        import numpy as np
+
+        self.counts += np.asarray(batch_counts, np.int64)
+
+    def result(self):
+        return ap_from_binned_counts(self.counts)

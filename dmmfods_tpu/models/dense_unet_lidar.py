@@ -1488,18 +1488,48 @@ def _dense_u_net_lidar(arch, growth_rate, block_config, num_init_features,
 
             if state_dict is None:
                 path = config.model.get("pretrained_path", None)
-                if path is None:
-                    raise FileNotFoundError(
-                        "pretrained=True needs either `state_dict=` or "
-                        "config.model.pretrained_path pointing at a local "
-                        f"torchvision {arch} checkpoint (no network egress)."
-                    )
-                import torch
+                if path is not None:
+                    import torch
 
-                state_dict = torch.load(path, map_location="cpu")
+                    state_dict = torch.load(path, map_location="cpu")
+                elif config.model.get("pretrained_url_fetch", False):
+                    # drop-in parity with reference _load_state_dict
+                    # (model:269-309): fetch the torchvision checkpoint by
+                    # URL. Opt-in only — most deployments have no egress.
+                    state_dict = _fetch_torchvision_state_dict(arch, progress)
+                else:
+                    raise FileNotFoundError(
+                        "pretrained=True needs `state_dict=`, "
+                        "config.model.pretrained_path pointing at a local "
+                        f"torchvision {arch} checkpoint, or "
+                        "config.model.pretrained_url_fetch=True (requires "
+                        "network egress)."
+                    )
             variables = load_torchvision_encoder(variables, state_dict, spec)
 
     return ModelBundle(module=module, variables=variables, config=config, spec=spec)
+
+
+# torchvision release URLs (reference model_urls consumed at model:269-309)
+TORCHVISION_DENSENET_URLS = {
+    "densenet121": "https://download.pytorch.org/models/densenet121-a639ec97.pth",
+    "densenet161": "https://download.pytorch.org/models/densenet161-8d451a50.pth",
+    "densenet169": "https://download.pytorch.org/models/densenet169-b2777c0a.pth",
+    "densenet201": "https://download.pytorch.org/models/densenet201-c1103571.pth",
+}
+
+
+def _fetch_torchvision_state_dict(arch, progress=True):
+    """Download the torchvision densenet checkpoint (reference
+    ``_load_state_dict``'s ``load_state_dict_from_url``, model:284). Kept
+    out of the default path: only runs when
+    ``config.model.pretrained_url_fetch`` is set."""
+    import torch
+
+    url = TORCHVISION_DENSENET_URLS[arch]
+    return torch.hub.load_state_dict_from_url(
+        url, map_location="cpu", progress=progress
+    )
 
 
 def densenet121_u_lidar(pretrained=False, progress=True, config=None, **kwargs):

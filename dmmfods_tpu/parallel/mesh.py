@@ -176,6 +176,34 @@ def shard_host_local_batch(batch, mesh: Mesh):
     )
 
 
+def shard_host_local_mixed_batch(batch, mesh: Mesh):
+    """Multi-host twin of :func:`shard_mixed_batch`: each host supplies its
+    *local* rows of the global batch; image-like (4-D) leaves take the full
+    ``(data, spatial)`` spec, point/box buffers shard on batch only. This is
+    what the Agent's ``_put`` uses when ``jax.process_count() > 1`` — the
+    per-host data loader feeds host-local shards, never the global batch."""
+    if jax.process_count() == 1:
+        return shard_mixed_batch(batch, mesh)
+    img_sharding = batch_sharding(mesh)
+    data_only = NamedSharding(mesh, P("data" if "data" in mesh.shape else None))
+
+    def put(x):
+        x = np.asarray(x)
+        sharding = img_sharding if x.ndim == 4 else data_only
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def place_replicated_state(tree, mesh: Mesh):
+    """Replicate a state pytree onto the mesh, choosing the no-broadcast
+    host-local path under multi-process execution (see
+    :func:`put_replicated_host_local`)."""
+    if jax.process_count() > 1:
+        return put_replicated_host_local(tree, mesh)
+    return jax.device_put(tree, replicated(mesh))
+
+
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
     """Sequence-parallel analogue for the conv U-Net (SURVEY.md §5.7): shard
     the image H axis over the ``spatial`` mesh dim; XLA inserts the halo

@@ -167,6 +167,11 @@ def make_eval_step(module, config, *, loss_fn: Optional[Callable] = None, mesh=N
         # heat-map AP (probability domain) — the benchmark-grade metric the
         # north star tracks alongside the reference's thresholded IoU
         step_metrics["ap_per_class"] = metrics.heatmap_average_precision(ht_map, logits)
+        # fixed-size score-histogram contribution for the DATASET-level
+        # pooled AP (a mean of per-batch APs is not the val-set AP; the
+        # host merges these integer counts and finishes the PR curve once
+        # per epoch — metrics.StreamingAP)
+        step_metrics["ap_bin_counts"] = metrics.binned_ap_counts(ht_map, logits)
         return step_metrics
 
     return jax.jit(step)

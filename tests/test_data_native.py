@@ -505,3 +505,115 @@ def test_native_prefetcher_preserves_order_under_thread_races(tmp_path):
     got = [float(img[0, 0, 0, 0]) for img, _, _ in pf]
     pf.close()
     assert got == markers
+
+
+def test_detection_train_loader_shuffles_file_major(batched_config):
+    """VERDICT r3 #8: the detection TRAIN loader must reshuffle every epoch
+    (the reference only shuffles once at serialization, helper.py:687), and
+    the shuffled order must stay file-major so the one-file minibatch cache
+    never thrashes."""
+    cfg = batched_config
+    _make_batched_layout(cfg.dir.data.root, "train", n=4)
+    _make_batched_layout(cfg.dir.data.root, "val", files_per_subset=1, n=4)
+    from dmmfods_tpu.data.detection import (
+        DetectionWaymoDataset, DetectionWaymoLoader,
+    )
+
+    cfg.dataset.batch_size = 32
+    cfg.loader.mode = "train"
+    loader = DetectionWaymoLoader(cfg, minibatch_size=2)
+    assert loader.train_loader.shuffle
+    assert not loader.valid_loader.shuffle
+
+    ds = DetectionWaymoDataset("train", cfg, minibatch_size=2)
+    per_file = ds.minibatches_per_file()
+    assert per_file == 2  # 4-sample fixture files / minibatch 2
+    assert len(ds) == len(ds.files) * per_file
+
+    rng = np.random.default_rng(3)
+    order1 = ds.shuffle_order(rng)
+    order2 = ds.shuffle_order(rng)
+    assert sorted(order1.tolist()) == list(range(len(ds)))
+    assert order1.tolist() != order2.tolist()  # reshuffled across epochs
+    # file-major: indices of the same file are contiguous in the order
+    files_seen = [int(i) // per_file for i in order1]
+    boundaries = [f for i, f in enumerate(files_seen)
+                  if i == 0 or files_seen[i - 1] != f]
+    assert len(boundaries) == len(ds.files)  # each file visited exactly once
+
+    # the PrefetchLoader actually uses the file-major order
+    from dmmfods_tpu.data.waymo import PrefetchLoader
+
+    pl = PrefetchLoader(ds, shuffle=True, seed=7)
+    groups = pl._index_groups()
+    flat = [g[0] for g in groups]
+    files_seen = [i // per_file for i in flat]
+    boundaries = [f for i, f in enumerate(files_seen)
+                  if i == 0 or files_seen[i - 1] != f]
+    assert len(boundaries) == len(ds.files)
+
+
+def test_instance_ap_accumulator_known_values():
+    """mAP@0.5 over scored instances: hand-built case with one TP above one
+    FP in score order -> AP = precision at the TP = 1.0 for class 0 when the
+    TP outranks the FP, and 0.5 when the FP outranks it."""
+    from dmmfods_tpu.agents.detection_baseline import (
+        DetectionTargets, InstanceAPAccumulator,
+    )
+
+    h, w = 8, 8
+    gt_mask = np.zeros((h, w), np.float32)
+    gt_mask[:4, :4] = 1.0
+    far_mask = np.zeros((h, w), np.float32)
+    far_mask[6:, 6:] = 1.0
+    target = DetectionTargets(
+        boxes=np.zeros((1, 4), np.float32),
+        labels=np.array([0]),
+        masks=gt_mask[None],
+    )
+
+    # TP scored above FP: precision at the (first-ranked) TP is 1/1
+    acc = InstanceAPAccumulator(num_classes=3)
+    acc.update(
+        [{"masks": np.stack([gt_mask, far_mask]),
+          "labels": np.array([0, 0]),
+          "scores": np.array([0.9, 0.8])}],
+        [target],
+    )
+    ap = acc.result()
+    assert ap[0] == 1.0 and ap[1] == 0.0 and ap[2] == 0.0
+
+    # FP scored above TP: the TP sits at rank 2 -> precision 1/2
+    acc2 = InstanceAPAccumulator(num_classes=3)
+    acc2.update(
+        [{"masks": np.stack([far_mask, gt_mask]),
+          "labels": np.array([0, 0]),
+          "scores": np.array([0.9, 0.8])}],
+        [target],
+    )
+    assert acc2.result()[0] == 0.5
+
+    # a second GT instance never found halves the recall ceiling: AP = 0.5
+    acc3 = InstanceAPAccumulator(num_classes=3)
+    two_gt = DetectionTargets(
+        boxes=np.zeros((2, 4), np.float32),
+        labels=np.array([0, 0]),
+        masks=np.stack([gt_mask, far_mask]),
+    )
+    acc3.update(
+        [{"masks": gt_mask[None], "labels": np.array([0]),
+          "scores": np.array([0.9])}],
+        [two_gt],
+    )
+    assert acc3.result()[0] == 0.5
+
+    # duplicate detection of one GT: second match is a FP (greedy claim)
+    acc4 = InstanceAPAccumulator(num_classes=3)
+    acc4.update(
+        [{"masks": np.stack([gt_mask, gt_mask]),
+          "labels": np.array([0, 0]),
+          "scores": np.array([0.9, 0.8])}],
+        [target],
+    )
+    assert acc4.result()[0] == 1.0  # AP counts precision at TPs only
+    assert acc4.is_tp[0] == [True, False]

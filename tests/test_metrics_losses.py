@@ -146,3 +146,78 @@ def test_ap_empty_ground_truth():
     ap = np.asarray(metrics.heatmap_average_precision(gt, logits))
     assert ap[0] > 0.95
     assert ap[1] < 0.05
+
+
+# ---------------------------------------------------------------------------
+# dataset-level streaming (pooled) AP
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_ap_equals_pooled_exact():
+    """When every pixel's score lands in its own histogram bin, the streamed
+    binned AP over per-batch updates EQUALS `heatmap_average_precision` over
+    the concatenated pixels — proving the merge + PR-curve finish are exact
+    (the only relaxation is score quantization, absent here by construction)."""
+    rng = np.random.default_rng(7)
+    num_bins = metrics.NUM_AP_BINS
+    b, h, w, c = 2, 8, 12, 3
+    n_pixels_total = 3 * b * h * w  # 3 batches
+    # distinct bins per class; map each to a logit whose sigmoid falls
+    # strictly inside that bin
+    cls_bins = np.stack([
+        rng.choice(num_bins, size=n_pixels_total, replace=False) for _ in range(c)
+    ])  # (c, N) distinct within each class
+    probs = (cls_bins + 0.5) / num_bins
+    logits_all = np.log(probs / (1 - probs)).astype(np.float32)  # logit()
+    gt_all = (rng.random((c, n_pixels_total)) > 0.8).astype(np.float32)
+
+    # split into 3 batches
+    stream = metrics.StreamingAP(num_classes=c, num_bins=num_bins)
+    per_batch = n_pixels_total // 3
+    gts, logits = [], []
+    for i in range(3):
+        sl = slice(i * per_batch, (i + 1) * per_batch)
+        g = gt_all[:, sl].T.reshape(b, h, w, c)
+        lo = logits_all[:, sl].T.reshape(b, h, w, c)
+        gts.append(g)
+        logits.append(lo)
+        stream.update(np.asarray(metrics.binned_ap_counts(g, lo)))
+
+    pooled_gt = np.concatenate([g.reshape(-1, c) for g in gts]).reshape(1, -1, 1, c)
+    pooled_logits = np.concatenate([l.reshape(-1, c) for l in logits]).reshape(1, -1, 1, c)
+    exact = np.asarray(metrics.heatmap_average_precision(pooled_gt, pooled_logits))
+    got = stream.result()
+    np.testing.assert_allclose(got, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_ap_close_on_random_logits():
+    """On arbitrary (unquantized) scores the binned AP differs from the exact
+    pooled AP only by quantization — bounded well below 1e-3 at 2^15 bins."""
+    rng = np.random.default_rng(13)
+    c = 3
+    stream = metrics.StreamingAP(num_classes=c)
+    gts, logits = [], []
+    for i in range(4):
+        gt = (rng.random((2, 16, 24, c)) > 0.85).astype(np.float32)
+        lo = rng.normal(0, 2, (2, 16, 24, c)).astype(np.float32)
+        gts.append(gt)
+        logits.append(lo)
+        stream.update(np.asarray(metrics.binned_ap_counts(gt, lo)))
+    pooled_gt = np.stack(gts).reshape(1, -1, 1, c)
+    pooled_logits = np.stack(logits).reshape(1, -1, 1, c)
+    exact = np.asarray(metrics.heatmap_average_precision(pooled_gt, pooled_logits))
+    got = stream.result()
+    np.testing.assert_allclose(got, exact, atol=1e-3)
+    # and the order of batches must not matter (integer-count merge)
+    stream2 = metrics.StreamingAP(num_classes=c)
+    for gt, lo in zip(reversed(gts), reversed(logits)):
+        stream2.update(np.asarray(metrics.binned_ap_counts(gt, lo)))
+    np.testing.assert_array_equal(stream2.counts, stream.counts)
+
+
+def test_streaming_ap_empty_class_zero():
+    gt = np.zeros((1, 4, 4, 3), np.float32)
+    lo = np.full((1, 4, 4, 3), 3.0, np.float32)
+    s = metrics.StreamingAP()
+    s.update(np.asarray(metrics.binned_ap_counts(gt, lo)))
+    assert (s.result() == 0.0).all()

@@ -240,3 +240,40 @@ def test_hub_checkpoint_key_inventory_fully_mapped(arch):
         if key.startswith(("classifier", "features.norm5")):
             continue
         assert torch_port._encoder_path("stream_2_" + key, stream2=True) is not None
+
+
+def test_pretrained_url_fetch_flag(tmp_path, monkeypatch):
+    """VERDICT r3 #9: with no local checkpoint, pretrained=True either fails
+    with a clear error (default: no egress assumed) or — when
+    `config.model.pretrained_url_fetch` is set — routes through the
+    torchvision-URL fetch path (reference model:269-309). The fetch itself
+    is stubbed: no network in tests."""
+    import pytest
+    import torch
+
+    from dmmfods_tpu.config import get_config
+    from dmmfods_tpu.models import dense_unet_lidar as m
+
+    cfg = get_config(str(tmp_path))
+    cfg.model.growth_rate = 8
+    cfg.model.block_config = (2, 2)
+    cfg.model.num_init_features = 16
+    cfg.dataset.images.size = (3, 32, 16)
+
+    with pytest.raises(FileNotFoundError, match="pretrained_url_fetch"):
+        m._dense_u_net_lidar("densenet121", 8, (2, 2), 16, True, True, cfg)
+
+    fetched = {}
+
+    def fake_fetch(url, map_location="cpu", progress=True):
+        fetched["url"] = url
+        # minimal real state dict from the fixture-shaped torch model is
+        # overkill here; an empty dict exercises the routing (the loader
+        # tolerates missing keys in non-strict mode)
+        return {}
+
+    monkeypatch.setattr(torch.hub, "load_state_dict_from_url", fake_fetch)
+    cfg.model.pretrained_url_fetch = True
+    bundle = m._dense_u_net_lidar("densenet121", 8, (2, 2), 16, True, True, cfg)
+    assert fetched["url"] == m.TORCHVISION_DENSENET_URLS["densenet121"]
+    assert bundle.variables is not None
