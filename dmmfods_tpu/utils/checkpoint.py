@@ -28,6 +28,25 @@ def _ckpt_dir(config) -> Path:
     return Path(config.dir.current_run.checkpoints).absolute()
 
 
+def _checkpointer():
+    """Orbax checkpointer; under multi-process execution the Agent
+    single-writes host-materialized numpy trees from process 0 (shared
+    storage), so orbax must NOT run its own cross-process barriers —
+    restrict its active processes to the caller."""
+    import jax
+
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=jax.process_index(),
+                active_processes={jax.process_index()},
+                barrier_sync_key_prefix=f"p{jax.process_index()}",
+            ),
+        )
+    return ocp.PyTreeCheckpointer()
+
+
 def save_checkpoint(config, *, params, batch_stats, opt_state,
                     epoch, train_iteration, val_iteration, best_val_iou,
                     filename="checkpoint", is_best=False):
@@ -47,7 +66,7 @@ def save_checkpoint(config, *, params, batch_stats, opt_state,
     path = base / filename
     if path.exists():
         shutil.rmtree(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         ckptr.save(path, state)
     if is_best:
         # Deliberate improvement over the reference: reference agent:115-122
@@ -87,7 +106,7 @@ def load_checkpoint(config, *, template, filename: Optional[str] = None):
         },
         keys.optimizer: template["opt_state"],
     }
-    with ocp.PyTreeCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         restored = ckptr.restore(
             path, args=ocp.args.PyTreeRestore(item=abstract)
         )

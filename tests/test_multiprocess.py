@@ -199,3 +199,132 @@ def test_two_process_full_train_step(tmp_path):
     img, lidar, ht = make_batch(batch_size=4, h=32, w=64, seed=5)
     _, metrics = step(state, img, lidar, ht)
     np.testing.assert_allclose(losses[0], float(metrics["loss"]), rtol=1e-4)
+
+
+# Full AGENT lifecycle across 2 processes x 2 local devices (VERDICT r3 #4):
+# each process's loader supplies only its host-local rows; the Agent's _put
+# routes them through shard_host_local_mixed_batch, state placement uses the
+# no-broadcast host-local replication, train_one_epoch + validate run over
+# the global mesh, and save_checkpoint single-writes from process 0.
+_AGENT_WORKER = r"""
+import sys
+
+coord, nproc, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import numpy as np
+
+from dmmfods_tpu.config import get_config
+from dmmfods_tpu.data.synthetic import make_batch
+from dmmfods_tpu.parallel import mesh as mesh_lib
+
+mesh_lib.initialize_distributed(coord, nproc, pid)
+assert jax.process_count() == nproc
+
+
+def barrier(name):
+    from jax._src import distributed
+
+    distributed.global_state.client.wait_at_barrier(name, 560_000)
+
+
+cfg = get_config("/tmp/mp_agent_" + str(pid))
+cfg.tpu.compute_dtype = "float32"
+cfg.model.growth_rate = 4
+cfg.model.block_config = (1, 1, 1, 1)
+cfg.model.num_init_features = 8
+cfg.agent.max_epoch = 1
+
+# identical global data on both processes; each host feeds its local rows
+img, lidar, ht = (np.asarray(a) for a in make_batch(batch_size=4, h=32, w=64, seed=9))
+lo, hi = pid * 2, (pid + 1) * 2
+
+
+class Loader:
+    class _It:
+        def __init__(self, n):
+            self.n = n
+
+        def __iter__(self):
+            for _ in range(self.n):
+                yield img[lo:hi], lidar[lo:hi], ht[lo:hi]
+
+    train_loader = _It(2)
+    valid_loader = _It(1)
+    train_iterations = 2
+    valid_iterations = 1
+
+
+from dmmfods_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache("/tmp/mp_agent_cache")
+
+# the constructor overwrites model arch fields; bypass via direct agent
+# construction on the tiny config (densenet121_u_lidar force-sets
+# growth/block_config — use the module path the agent exposes for tests)
+import dmmfods_tpu.models.dense_unet_lidar as dm
+
+orig = dm._dense_u_net_lidar
+
+def tiny_ctor(arch, growth, blocks, init, pretrained, progress, config, **kw):
+    return orig(arch, 4, (1, 1, 1, 1), 8, pretrained, progress, config, **kw)
+
+dm.densenet121_u_lidar.__globals__["_dense_u_net_lidar"] = tiny_ctor
+from dmmfods_tpu.agents.dense_unet_agent import Dense_U_Net_lidar_Agent
+
+barrier("pre_agent")
+agent = Dense_U_Net_lidar_Agent(cfg, torchvision_init=True, data_loader=Loader())
+assert agent.mesh is not None and agent.mesh.devices.size == 4
+barrier("post_init")
+
+# serialize the single-core COMPILES through the shared persistent cache
+# (lower/compile are host-only — no collectives), then EXECUTE the SPMD
+# program simultaneously on both processes: in multi-controller JAX every
+# process must run the same jitted computation or its collectives hang.
+# _put (make_array_from_process_local_data) includes a cross-process
+# consistency collective: BOTH processes must call it together
+barrier("pre_put")
+probe = agent._put((img[lo:hi], lidar[lo:hi], ht[lo:hi]))
+if pid == 0:
+    agent.train_step.lower(agent.state, *probe).compile()
+    agent.eval_step.lower(agent.state, *probe).compile()
+barrier("compile_0")
+if pid != 0:
+    agent.train_step.lower(agent.state, *probe).compile()
+    agent.eval_step.lower(agent.state, *probe).compile()
+barrier("pre_train")
+agent.train()
+barrier("trained")
+
+iou = agent.validate()
+ap = agent.epoch_ap_per_class
+print("MP_AGENT_IOU", " ".join(f"{v:.6f}" for v in np.asarray(iou)), flush=True)
+print("MP_AGENT_AP", " ".join(f"{v:.6f}" for v in np.asarray(ap)), flush=True)
+
+# checkpoint: single-writer (process 0); both processes took the epoch loop
+import os
+
+ck = os.path.join(cfg.dir.current_run.checkpoints, "checkpoint")
+if pid == 0:
+    assert os.path.isdir(ck), ck
+else:
+    assert not os.path.exists(ck)  # non-writer process skipped the write
+print("MP_AGENT_OK", pid, flush=True)
+barrier("done")
+"""
+
+
+def test_two_process_agent_epoch(tmp_path):
+    outs = _run_two_procs(tmp_path, _AGENT_WORKER, timeout=1500)
+    ious, aps = [], []
+    for pid, out in enumerate(outs):
+        assert f"MP_AGENT_OK {pid}" in out, out
+        ious.append([l for l in out.splitlines() if l.startswith("MP_AGENT_IOU")][0])
+        aps.append([l for l in out.splitlines() if l.startswith("MP_AGENT_AP")][0])
+    # the globally-sharded computation must agree across processes
+    assert ious[0] == ious[1]
+    assert aps[0] == aps[1]
