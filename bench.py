@@ -116,7 +116,9 @@ def main():
     bundle = densenet121_u_lidar(config=cfg, init_hw=(64, 96))  # params are resolution-independent
     module, variables = bundle.module, bundle.variables
 
-    @jax.jit
+    from dmmfods_tpu.utils.cache import jit_auto_out
+
+    @jit_auto_out
     def forward(v, rgb, lidar):
         return module.apply(v, rgb, lidar, False)
 

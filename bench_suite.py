@@ -54,7 +54,9 @@ def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="
     module, variables = bundle.module, bundle.variables
     single = cfg.model.stream_2_in_channels == 0
 
-    @jax.jit
+    from dmmfods_tpu.utils.cache import jit_auto_out
+
+    @jit_auto_out
     def forward(v, rgb, lidar):
         return module.apply(v, rgb, None if single else lidar, False)
 

@@ -148,9 +148,17 @@ def _strip_kernel(xm1, x0, xp1, g1_ref, b1_ref, w1_ref, g2_ref, b2_ref,
 
 
 def pick_rs(h, num_layers, w, c0, growth, k, dtype_bytes=2,
-            vmem_budget=72 * 1024 * 1024):
+            vmem_budget=90 * 1024 * 1024):
     """Largest strip height RS dividing ``h`` with RS >= L and the working
-    set in budget. None when no RS works (caller falls back to XLA)."""
+    set in budget. None when no RS works (caller falls back to XLA).
+
+    Budget 90 MB (r4, was 72): the term model above double-counts scratch
+    Mosaic actually reuses, so the old budget forced rs=20 at the full-res
+    block shapes; rs=32 fits the real 110 MB scoped-vmem cap and measures
+    block1 3.45 -> 2.99 ms, block2 2.37 -> 1.96 ms isolated (halo
+    recompute overhead drops from 2.2x to 1.75x on block2) — BASELINE.md
+    r4. Compile cost at rs=32: 345 s (block1) / 856 s (block2), one-time
+    persistent-cached (`cli warmup`)."""
     c_max = c0 + num_layers * growth
     for rs in (64, 48, 40, 32, 24, 20, 16, 8):
         if h % rs != 0 or rs < num_layers:

@@ -77,7 +77,9 @@ class InferenceEngine:
             )
             return jax.nn.sigmoid(logits.astype(jnp.float32)) if decode_flag else logits
 
-        return jax.jit(forward)
+        from .utils.cache import jit_auto_out
+
+        return jit_auto_out(forward)
 
     def update_variables(self, variables, *, rewarm=True):
         """Swap in new model weights (e.g. a freshly trained checkpoint)

@@ -132,7 +132,9 @@ def build_fullres(impl=None, fused=True, gate=98304, remat=False, batch=1,
     bundle = ctor(config=cfg, init_hw=(160, 224))
     module, variables = bundle.module, bundle.variables
 
-    @jax.jit
+    from dmmfods_tpu.utils.cache import jit_auto_out
+
+    @jit_auto_out
     def forward(v, rgb, lidar):
         return module.apply(v, rgb, lidar, False)
 
