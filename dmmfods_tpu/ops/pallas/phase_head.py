@@ -309,14 +309,12 @@ def phase_space_head_strip(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt,
         hh=hh, hw=hw, n_cls=n_cls, rs=rs, interpret=interpret)
     # depth-to-space, lane-efficient: each u plane's (hw, 2*n_cls) rows ARE
     # output row 2i+u under a free W-merge ((hw, 2n)[j, v*n+c] row-major ==
-    # (2*hw*n,)[2n*j + n*v + c]). The H interleave is expressed as a LANE
-    # concat: flat index of (1, H, W, n) is i*2*wide + u*wide + (2n*j+n*v+c),
-    # exactly the row-major order of [u0_rows | u1_rows] (hh, 2*wide) — so
-    # the reshape below is element-order-preserving and, under AUTO output
-    # layouts, free. (The previous stack(axis=1) form was the same element
-    # order but XLA lowered it as a 1.9 ms sublane-interleave copy at full
-    # res — BASELINE.md r4.)
+    # (2*hw*n,)[2n*j + n*v + c]); the only real op is the H interleave of
+    # two wide-lane planes — vs 5.2 ms of 6-lane slice/pad/copy when the
+    # depth-to-space ran on the phase-stacked (hh, hw, 4n) tensor.
+    # (r4 measured negative: expressing the interleave as a lane concat
+    # [u0 | u1] + order-preserving reshape — same element order — lowered
+    # WORSE, 2.8 ms vs the stack's 1.9 at full res; the stack form stands.)
     wide = hw * 2 * n_cls
-    y = jnp.concatenate(
-        [o_u0.reshape(hh, wide), o_u1.reshape(hh, wide)], axis=-1)
+    y = jnp.stack([o_u0.reshape(hh, wide), o_u1.reshape(hh, wide)], axis=1)
     return y.reshape(1, H, W, n_cls)

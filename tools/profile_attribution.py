@@ -182,13 +182,14 @@ def main():
     p.add_argument("--s2d", action="store_true")
     p.add_argument("--rows", default="none")
     p.add_argument("--region", default="off")
+    p.add_argument("--stem-pool", default="auto")
     args = p.parse_args()
 
     if args.config == "3":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
             batch=args.batch or 1, s2d=args.s2d, rows=args.rows,
-            region=args.region)
+            region=args.region, stem_pool=args.stem_pool)
     elif args.config == "headline":
         fn, fargs = build_fullres(
             impl=args.impl, fused=not args.no_fused, gate=args.gate,
