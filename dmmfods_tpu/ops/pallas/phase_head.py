@@ -263,7 +263,7 @@ def phase_head_strip(x_lo2, raw_parts, w0p, w_all, g0, b0, g1, b1, *,
 
 
 def phase_space_head_strip(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt,
-                           rs=8, interpret=False, raw_parts=None):
+                           rs=None, interpret=False, raw_parts=None):
     """Batch-1 strip-kernel lowering of the whole phase-space head.
 
     Same contract as :func:`dmmfods_tpu.ops.fused.phase_space_head_rows`
@@ -280,6 +280,13 @@ def phase_space_head_strip(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt,
     be None when parts are given.
     """
     assert x_lo.shape[0] == 1, "strip head is batch-1"
+    if rs is None:
+        # rs=8 is the VMEM ceiling at full-res widths: rs=16 (which would
+        # cut the 4-row halo recompute from 1.5x to 1.25x) compiles to
+        # 192.3 MB of vmem against the 128 MB cap — measured permanent
+        # compile OOM at 1280x1920 (r4); the working set is dominated by
+        # the (rs+4, hw+1, 2*c_in) source scratch + Mosaic temporaries.
+        rs = 8
     if raw_parts is None:
         raw_parts = [raw]
     c_up = x_lo.shape[-1]
