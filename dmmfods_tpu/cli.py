@@ -176,6 +176,22 @@ def cmd_warmup(args):
         config.dataset.images.size = (3, args.width, args.height)
     _, w, h = config.dataset.images.size
 
+    if args.serving:
+        # the serving engine BAKES variables into its jit (constant-folded
+        # weights), so its cache keys differ from the parameterized AOT
+        # compiles below — warm the real engine instead. Weights come from
+        # the best checkpoint when one exists, else fresh init (the compiled
+        # program's shape/layout structure is weight-independent).
+        from .serving import InferenceEngine
+
+        bundle = densenet121_u_lidar(config=config)
+        engine = InferenceEngine(bundle, buckets=tuple(args.buckets))
+        t0 = __import__("time").perf_counter()
+        engine.warmup()
+        print(f"warmup serving buckets {args.buckets} @ {h}x{w}: "
+              f"{__import__('time').perf_counter() - t0:.1f}s")
+        return
+
     bundle = densenet121_u_lidar(config=config, lazy=True)
     module, spec = bundle.module, bundle.spec
     dtype = spec.dtype
@@ -318,6 +334,9 @@ def main(argv=None):
     p.add_argument("--cache-dir", default="",
                    help="persistent compile cache dir (default "
                         "$DMMFODS_JAX_CACHE or /tmp/dmmfods_jax_cache)")
+    p.add_argument("--serving", action="store_true",
+                   help="warm the real serving engine (weight-baked jits) "
+                        "instead of the parameterized AOT compiles")
     p.set_defaults(fn=cmd_warmup)
 
     p = sub.add_parser("policy", help="print the lowering-policy table for "
