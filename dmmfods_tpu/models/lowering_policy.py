@@ -66,7 +66,8 @@ def describe(spec, batch: int, height: int, width: int, *,
     rows_ok = m._rows_ok(spec, batch, train)
     stem_fuse = (not region
                  and m._stem_pool_ok(spec, batch, height, width,
-                                     spec.network_input_channels, train))
+                                     spec.network_input_channels, train,
+                                     backend=backend))
 
     # --- stem -------------------------------------------------------------
     use_s2d = (spec.s2d_stem is True
@@ -113,14 +114,20 @@ def describe(spec, batch: int, height: int, width: int, *,
             from ..ops.pallas.dense_block_strip import eligible
 
             strip_on = eligible(batch, ph, pw, c0, spec.growth_rate,
-                                num_layers, spec.bn_size, dtype_bytes)
-        rows_block = (spec.rows_for_block(i) and rows_ok
+                                num_layers, spec.bn_size, dtype_bytes,
+                                carry=strip_sel == "carry")
+        # DenseBlock's own gate (dense_unet_lidar.py DenseBlock.__call__)
+        # does NOT route through _rows_ok — it admits training when
+        # rows_train is set (and remat is off), so the policy must too.
+        rows_block = (spec.rows_for_block(i)
+                      and batch <= spec.rows_max_batch
                       and (not train or (spec.rows_train and not spec.remat))
                       and spec.drop_rate == 0 and _zone(spec, px) != "mid")
         if region:
             entry["impl"] = "rows_region"
         elif strip_on:
-            entry["impl"] = "pallas_strip"
+            entry["impl"] = ("pallas_strip_carry" if strip_sel == "carry"
+                             else "pallas_strip")
         elif rows_block:
             entry["impl"] = "rows"
         elif train and impl == "buffer":
@@ -129,7 +136,11 @@ def describe(spec, batch: int, height: int, width: int, *,
             entry["impl"] = impl
         num_features = c0 + num_layers * spec.growth_rate
         if i != len(spec.block_config):
-            t_rows = (spec.rows_for_block(i) and rows_ok and not train
+            # Transition admits rows_train in training (no remat term —
+            # Transition has no remat path; dense_unet_lidar.py Transition)
+            t_rows = (spec.rows_for_block(i)
+                      and batch <= spec.rows_max_batch
+                      and (not train or spec.rows_train)
                       and ph % 2 == 0 and _zone(spec, px) != "mid")
             entry["transition"] = ("rows_region" if region
                                    else "rows" if t_rows else "standard")

@@ -37,9 +37,38 @@ def jit_auto_out(fun, **jit_kwargs):
     """
     import jax
 
+    # AUTO layouts are a TPU-compiler feature; on other backends (and when
+    # the layout API is missing) use plain jit outright rather than risking
+    # a trace/compile-time rejection at first call.
+    if jax.default_backend() != "tpu":
+        return jax.jit(fun, **jit_kwargs)
     try:
         from jax.experimental.layout import Format, Layout
 
-        return jax.jit(fun, out_shardings=Format(Layout.AUTO), **jit_kwargs)
+        auto = jax.jit(fun, out_shardings=Format(Layout.AUTO), **jit_kwargs)
     except Exception:
         return jax.jit(fun, **jit_kwargs)
+
+    # The layout API can also fail at trace/compile time (backend rejects
+    # Format(Layout.AUTO)); degrade to plain jit on the FIRST call instead
+    # of surfacing an opaque layout error from serving/bench forwards. A
+    # genuine error in `fun` re-raises from the plain-jit retry.
+    state = {"fn": None}
+
+    def wrapped(*a, **kw):
+        if state["fn"] is not None:
+            return state["fn"](*a, **kw)
+        try:
+            out = auto(*a, **kw)
+            state["fn"] = auto
+            return out
+        except Exception:
+            fallback = jax.jit(fun, **jit_kwargs)
+            out = fallback(*a, **kw)  # real errors in fun re-raise here
+            state["fn"] = fallback
+            return out
+
+    # preserve the jit surface bench/serving relies on (lower/compile pass
+    # through to the AUTO-layout jit)
+    wrapped.lower = auto.lower
+    return wrapped

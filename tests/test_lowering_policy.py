@@ -68,6 +68,40 @@ def test_policy_table_working_res_anchor():
     assert all(b["impl"] == "concat" for b in p_tr["blocks"])
 
 
+def test_stem_pool_strip_quarantined_on_tpu():
+    """VERDICT r4 #3: the fused stem+pool kernel's hardware path crashed
+    the device server nondeterministically — 'on' must be interpret/CPU
+    only; only the explicit 'force' opt-in reaches real TPU."""
+    spec = _tiny(stem_pool_strip="on", use_fused_kernels=True)
+    p_cpu = lowering_policy.describe(spec, 1, 512, 768, backend="cpu")
+    assert p_cpu["stem"] == "pallas_stem_pool"
+    p_tpu = lowering_policy.describe(spec, 1, 512, 768, backend="tpu")
+    assert p_tpu["stem"] != "pallas_stem_pool"
+    spec_f = _tiny(stem_pool_strip="force", use_fused_kernels=True)
+    p_force = lowering_policy.describe(spec_f, 1, 512, 768, backend="tpu")
+    assert p_force["stem"] == "pallas_stem_pool"
+
+
+def test_policy_table_rows_train():
+    """rows_train=True admits the rows lowering for blocks/transitions in
+    TRAIN mode (the model's own gates don't route through `_rows_ok`'s
+    `not train`; ADVICE r4 #1) — while remat re-disables the blocks."""
+    spec = _tiny(use_fused_kernels=True, rows_train=True)
+    p = lowering_policy.describe(spec, 8, 128, 192, backend="tpu", train=True)
+    assert all(b["impl"] == "rows" for b in p["blocks"])
+    assert all(b.get("transition", "rows") == "rows" for b in p["blocks"])
+    # remat gates the BLOCK rows path off, not the transitions
+    spec_r = _tiny(use_fused_kernels=True, rows_train=True, remat=True)
+    p_r = lowering_policy.describe(spec_r, 8, 128, 192, backend="tpu",
+                                   train=True)
+    assert all(b["impl"] == "concat" for b in p_r["blocks"])
+    assert all(b.get("transition", "rows") == "rows" for b in p_r["blocks"])
+    # and without rows_train, train mode stays standard (regression guard)
+    p_off = lowering_policy.describe(_tiny(use_fused_kernels=True), 8, 128,
+                                     192, backend="tpu", train=True)
+    assert all(b["impl"] == "concat" for b in p_off["blocks"])
+
+
 def test_policy_table_mid_zone():
     """640x960 b4 — the intermediate deployment shape VERDICT r3 #6 names:
     block1 lands in the big zone, blocks 2-3 in the barely-measured mid zone
