@@ -142,7 +142,11 @@ class ModelSpec:
     # MEASURED NEUTRAL at 1280x1920 b1 (two paired A/Bs: 33.63 vs 33.98
     # and 33.79 vs 33.26 ms — inside chip variance; BASELINE.md r3), so
     # 'auto' resolves to OFF per the measured-win-only gating policy.
-    # 'on' forces it (tests run interpret mode on CPU), 'off' disables.
+    # QUARANTINED on real TPU (VERDICT r4 #3): the compiled kernel hit
+    # nondeterministic `INVALID_ARGUMENT: TPU backend error` crashes that
+    # poison the device server (BASELINE.md r4); 'on' therefore engages
+    # only the interpret/CPU path (tests), 'force' is the explicit unsafe
+    # hardware opt-in, 'off' disables.
     stem_pool_strip: str = "auto"
     # training-only: route the decoder stages' BNs (norm0 sits on the
     # skip-concat fan-out) through the analytic custom-VJP backward
@@ -352,10 +356,12 @@ def _rows_ok(spec, batch: int, train: bool) -> bool:
             and batch <= spec.rows_max_batch)
 
 
-def _stem_pool_ok(spec, b: int, h: int, w: int, c: int, train: bool) -> bool:
+def _stem_pool_ok(spec, b: int, h: int, w: int, c: int, train: bool,
+                  backend: str | None = None) -> bool:
     """Whether the fused Pallas stem+pool0 strip kernel applies (see
     ModelSpec.stem_pool_strip). Called by the encoders so they can skip
-    the separate pool0 when the stem already pooled."""
+    the separate pool0 when the stem already pooled. ``backend`` defaults
+    to the live backend (the lowering-policy table passes its own)."""
     sel = str(spec.stem_pool_strip).strip().lower()
     if sel in ("", "off", "none", "0", "false") or train:
         return False
@@ -364,6 +370,16 @@ def _stem_pool_ok(spec, b: int, h: int, w: int, c: int, train: bool) -> bool:
     if sel == "auto":
         # measured NEUTRAL in its target regime (full-res b1 — see
         # ModelSpec.stem_pool_strip): auto keeps the XLA path
+        return False
+    if backend is None:
+        backend = jax.default_backend()
+    if sel != "force" and backend == "tpu":
+        # QUARANTINED on real TPU (VERDICT r4 #3): repeated executions of
+        # the compiled kernel hit nondeterministic `INVALID_ARGUMENT: TPU
+        # backend error` crashes that poison the device server for minutes
+        # (BASELINE.md r4 negatives). 'on' therefore only engages the
+        # interpret/CPU path (tests); the hardware path requires the
+        # explicit unsafe opt-in `tpu.stem_pool_strip = "force"`.
         return False
     from ..ops.pallas.stem_pool import eligible
 
@@ -501,14 +517,16 @@ class DenseBlock(nn.Module):
             # + halo, write the final buffer once — vs O(L^2) HBM round
             # trips). Supersedes the rows XLA lowering in this regime.
             from ..ops.pallas.dense_block import fold_block_params_jnp
-            from ..ops.pallas.dense_block_strip import dense_block_strip
+            from ..ops.pallas import dense_block_strip as strip_mod
 
             variables = self.variables
             folded = fold_block_params_jnp(
                 variables["params"], variables["batch_stats"],
                 self.num_layers, x.shape[-1], self.growth_rate, self.bn_size,
             )
-            return dense_block_strip(
+            run = (strip_mod.dense_block_strip_carry
+                   if self._strip_carry() else strip_mod.dense_block_strip)
+            return run(
                 x, folded, num_layers=self.num_layers, c0=x.shape[-1],
                 growth=self.growth_rate, h=x.shape[1], w=x.shape[2],
             )
@@ -610,6 +628,12 @@ class DenseBlock(nn.Module):
             feats = jnp.concatenate([feats, new], axis=-1)
         return feats
 
+    def _strip_carry(self) -> bool:
+        """Whether the strip fast path uses the halo-carry kernel
+        (``dense_block_strip = "carry"``; measured vs the recompute
+        kernel — see BASELINE.md r5)."""
+        return self.strip == "carry"
+
     def _strip_eligible(self, x, train: bool, px: int) -> bool:
         if self.strip == "off" or train or self.is_initializing():
             return False
@@ -626,7 +650,7 @@ class DenseBlock(nn.Module):
         return eligible(
             x.shape[0], x.shape[1], x.shape[2], x.shape[-1],
             self.growth_rate, self.num_layers, self.bn_size,
-            jnp.dtype(self.dtype).itemsize,
+            jnp.dtype(self.dtype).itemsize, carry=self._strip_carry(),
         )
 
     def _vjp_eligible(self) -> bool:

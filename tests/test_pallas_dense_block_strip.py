@@ -69,3 +69,38 @@ def test_strip_eligibility_gate():
     # picked strips divide H and cover the layer halo
     assert pick_rs(320, 6, 480, 64, 32, 128) >= 6
     assert 160 % pick_rs(160, 12, 240, 128, 32, 128) == 0
+
+
+@pytest.mark.parametrize("L,c0,growth,h,w,rs", [
+    (3, 16, 8, 32, 16, 8),     # several strips: carry crosses 4 steps
+    (3, 16, 8, 8, 16, 8),      # single strip + the trailing flush step
+    (6, 16, 16, 24, 8, 8),     # rs == L + 2: minimal legal carry margin
+    (3, 16, 8, 32, 16, None),  # auto rs via pick_rs_carry
+])
+def test_carry_kernel_matches_flax_block(L, c0, growth, h, w, rs):
+    """The halo-carry variant (VERDICT r4 #2) is numerically identical to
+    the flax block — including the cross-strip carried rows and the
+    trailing output step."""
+    from dmmfods_tpu.ops.pallas.dense_block_strip import (
+        dense_block_strip_carry,
+    )
+
+    block, variables, x = _setup(L, c0, growth, h, w, seed=3)
+    ref = np.asarray(block.apply(variables, x, False))
+    folded = fold_block_params(
+        variables["params"], variables["batch_stats"], L, c0, growth, 4)
+    out = np.asarray(dense_block_strip_carry(
+        x, folded, num_layers=L, c0=c0, growth=growth, h=h, w=w, rs=rs,
+        interpret=True))
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_carry_pick_rs():
+    from dmmfods_tpu.ops.pallas.dense_block_strip import pick_rs_carry
+
+    # full-res block shapes: larger strips fit than the recompute kernel's
+    assert pick_rs_carry(320, 6, 480, 64, 32, 128) >= 32
+    rs2 = pick_rs_carry(160, 12, 240, 128, 32, 128)
+    assert rs2 >= 16 and 160 % rs2 == 0
+    # rs must leave room for the carry copy (rs >= L + 2)
+    assert pick_rs_carry(12, 12, 240, 128, 32, 128) is None
