@@ -79,7 +79,7 @@ class Dense_U_Net_lidar_Agent:
         self.tx = trainer_lib.make_optimizer(self.config)
         self.state = trainer_lib.create_train_state(self.model, self.tx)
         if self.mesh is not None:
-            self.state = mesh_lib.place_replicated_state(self.state, self.mesh)
+            self.state = self._place_state(self.state)
 
         # step selection: dense offline tensors (reference-equivalent) vs
         # raw records with north-star preprocessing (heat maps rasterized
@@ -188,8 +188,8 @@ class Dense_U_Net_lidar_Agent:
         )
         if self.mesh is not None:
             # orbax restores to default single-device placement; the steps
-            # expect mesh-replicated state alongside mesh-sharded batches
-            self.state = mesh_lib.place_replicated_state(self.state, self.mesh)
+            # expect mesh-placed state alongside mesh-sharded batches
+            self.state = self._place_state(self.state)
         self.logger.info(
             "Checkpoint loaded successfully from %s at (epoch %d) at (iteration %d)",
             self.config.dir.current_run.checkpoints,
@@ -252,6 +252,14 @@ class Dense_U_Net_lidar_Agent:
 
         self.train_summary_writer.close()
         self.val_summary_writer.close()
+
+    def _place_state(self, state):
+        """Mesh placement for the train state: tensor-parallel when
+        ``config.tpu.mesh.model > 1`` (out-channel conv sharding over the
+        ``model`` axis — ``parallel.mesh.place_state``), replicated
+        otherwise."""
+        threshold = int(self.config.tpu.get("tp_shard_threshold", 256))
+        return mesh_lib.place_state(state, self.mesh, threshold=threshold)
 
     def _put(self, batch):
         if self.mesh is None:

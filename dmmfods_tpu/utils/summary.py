@@ -106,6 +106,7 @@ class StepTimer:
     def __init__(self):
         self.times = []
         self._t0 = None
+        self.last_loss = float("nan")  # anchor scalar of the last stop()
 
     def start(self):
         self._t0 = time.perf_counter()
@@ -118,7 +119,7 @@ class StepTimer:
         if result is not None:
             from .timing import force_completion
 
-            force_completion(result)
+            self.last_loss = force_completion(result)
         self.times.append(time.perf_counter() - self._t0)
 
     @property
