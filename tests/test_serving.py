@@ -157,3 +157,41 @@ def test_update_variables_hot_swap():
     engine.update_variables(new_vars, rewarm=False)
     out2 = engine.run(rgb, lidar)
     assert np.abs(out1 - out2).max() > 1e-5  # new weights actually serve
+
+
+def test_mesh_data_parallel_serving(tmp_path):
+    """VERDICT r4 #7: one engine drives a whole mesh — variables replicated,
+    request batches sharded over the 'data' axis, numerics identical to the
+    single-device engine."""
+    import pytest
+
+    from dmmfods_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    bundle = _tiny_bundle(tmp_path)
+    mesh = mesh_lib.make_mesh(data=4, devices=jax.devices()[:4])
+
+    # buckets must split across the data axis
+    with pytest.raises(ValueError):
+        InferenceEngine(bundle, buckets=(2, 4), mesh=mesh)
+
+    engine_mesh = InferenceEngine(bundle, buckets=(4, 8), decode=True,
+                                  mesh=mesh)
+    engine_single = InferenceEngine(bundle, buckets=(4, 8), decode=True)
+    rng = np.random.default_rng(3)
+    rgb = rng.normal(size=(6, 32, 64, 3)).astype(np.float32)
+    lidar = rng.normal(size=(6, 32, 64, 1)).astype(np.float32)
+    out_mesh = engine_mesh.run(rgb, lidar)  # pads 6 -> bucket 8 (2 rows/dev)
+    out_single = engine_single.run(rgb, lidar)
+    assert out_mesh.shape == (6, 32, 64, 3)
+    np.testing.assert_allclose(out_mesh, out_single, atol=1e-5)
+
+    # async path on the mesh
+    engine_mesh.start()
+    try:
+        fut = engine_mesh.submit(rgb, lidar)
+        np.testing.assert_allclose(fut.result(timeout=300), out_mesh,
+                                   atol=1e-5)
+    finally:
+        engine_mesh.stop()
