@@ -63,6 +63,27 @@ def _to_nhwc(arr):
     return np.transpose(a, (1, 2, 0))
 
 
+def load_dense_batch_file(path):
+    """One serialized dense batch file -> NHWC ``(image, lidar, ht_map)``.
+
+    Shared by :meth:`WaymoDataset.get_batch` and the parity runner
+    (``utils/parity.py``): handles legacy torch ``(N, 7, H, W)`` files
+    (channel slicing per reference WaymoData.py:99-101) and native
+    channel-last ``(N, H, W, 7)`` files from our converter."""
+    if path.endswith(".npy"):
+        from . import native_io
+
+        if native_io.available():
+            # GIL-free C++ decode: single-pass layout + channel split
+            return native_io.load_batch(path)
+    batch = np.asarray(_load_array(path), np.float32)
+    if batch.shape[-1] == 7:  # native channel-last
+        nhwc = batch
+    else:  # legacy (N, 7, H, W)
+        nhwc = np.transpose(batch, (0, 2, 3, 1))
+    return nhwc[..., :3], nhwc[..., 3:4], nhwc[..., 4:]
+
+
 class WaymoDataset:
     """File-list-backed dataset (reference ``WaymoDataset`` semantics)."""
 
@@ -133,18 +154,7 @@ class WaymoDataset:
             with np.load(path) as z:
                 if "points" in z.files:  # raw record (converter raw layout)
                     return self._raw_record_to_batch(z)
-        if path.endswith(".npy"):
-            from . import native_io
-
-            if native_io.available():
-                # GIL-free C++ decode: single-pass layout + channel split
-                return native_io.load_batch(path)
-        batch = np.asarray(_load_array(path), np.float32)
-        if batch.shape[-1] == 7:  # native channel-last
-            nhwc = batch
-        else:  # legacy (N, 7, H, W)
-            nhwc = np.transpose(batch, (0, 2, 3, 1))
-        return nhwc[..., :3], nhwc[..., 3:4], nhwc[..., 4:]
+        return load_dense_batch_file(path)
 
     def _raw_record_to_batch(self, z):
         """One raw-record file -> the training batch tuple.

@@ -62,3 +62,32 @@ def test_cli_train_then_eval_raw_records(tmp_path):
     cli.main(["eval"] + args)
     text = "".join(p.read_text() for p in base.rglob("scalars.jsonl"))
     assert "Training/Loss" in text and "Validation/IoU" in text
+
+
+def test_cli_parity_verb_wiring(monkeypatch, tmp_path, capsys):
+    """`cli parity` parses its args, loads the host-dir config and routes
+    into utils.parity.run_parity, printing the returned table."""
+    called = {}
+
+    def fake_run_parity(config, ckpt, data, *, reference_root=None,
+                        full_model=True, **kw):
+        called.update(ckpt=ckpt, data=data, reference_root=reference_root,
+                      full_model=full_model,
+                      dtype=config.tpu.compute_dtype)
+        return {}, None, "PARITY-TABLE"
+
+    import dmmfods_tpu.utils.parity as parity_mod
+
+    monkeypatch.setattr(parity_mod, "run_parity", fake_run_parity)
+    cli.main([
+        "parity", "--host-dir", str(tmp_path),
+        "--torch-ckpt", "ckpt.pth.tar", "--data", "valdir",
+        "--reference-root", "/ref", "--encoder-only",
+        "--set", "tpu.compute_dtype=float32",
+    ])
+    assert "PARITY-TABLE" in capsys.readouterr().out
+    assert called == {
+        "ckpt": "ckpt.pth.tar", "data": "valdir",
+        "reference_root": "/ref", "full_model": False,
+        "dtype": "float32",
+    }

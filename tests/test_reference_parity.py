@@ -536,3 +536,60 @@ def test_port_to_eval_ap_recipe(reference_module, tmp_path):
     text = "".join(p.read_text() for p in scalars)
     assert "Validation/AP" in text
     agent.finalize()
+
+
+def test_cli_parity_runner(reference_module, tmp_path):
+    """VERDICT r4 #8: the one-command parity runner — port a reference
+    torch checkpoint, evaluate BOTH implementations over the same synthetic
+    data dir, and the side-by-side table's columns must agree (same weights
+    => same AP/IoU up to float tolerance)."""
+    from dmmfods_tpu.models.dense_unet_lidar import ModelBundle
+    from dmmfods_tpu.utils.parity import run_parity
+
+    cfg = _tiny_ref_config(tmp_path, concat_before_block_num=2,
+                           stream_2_in_channels=1)
+    h, w = 64, 96
+    cfg.dataset.images.size = (3, w, h)
+
+    torch_model = reference_module.Dense_U_Net_lidar(cfg)
+    _randomize_torch_model(torch_model, seed=41)
+    ckpt_path = tmp_path / "ref_ckpt.pth.tar"
+    torch.save({cfg.agent.checkpoint.state_dict: torch_model.state_dict()},
+               ckpt_path)
+
+    # synthetic val dir: two native channel-last 7-channel batch files
+    data_dir = tmp_path / "val"
+    data_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(2):
+        batch = rng.uniform(0, 1, (2, h, w, 7)).astype(np.float32)
+        np.save(data_dir / f"batch_{i}.npy", batch)
+
+    spec = ModelSpec.from_config(cfg)
+    module = DenseUNetLidar(spec)
+    variables = module.init(
+        jax.random.PRNGKey(0), np.zeros((1, h, w, 3), np.float32),
+        np.zeros((1, h, w, 1), np.float32), False)
+    bundle = ModelBundle(module=module, variables=variables, config=cfg,
+                         spec=spec)
+
+    jax_res, torch_res, table = run_parity(
+        cfg, str(ckpt_path), str(data_dir),
+        torch_model_cls=reference_module.Dense_U_Net_lidar, bundle=bundle)
+    assert torch_res is not None
+    assert jax_res["frames"] == torch_res["frames"] == 4
+    np.testing.assert_allclose(jax_res["ap_per_class"],
+                               torch_res["ap_per_class"], atol=1e-4)
+    np.testing.assert_allclose(np.nan_to_num(jax_res["iou_per_class"]),
+                               np.nan_to_num(torch_res["iou_per_class"]),
+                               atol=1e-4)
+    np.testing.assert_allclose(jax_res["acc_per_class"],
+                               torch_res["acc_per_class"], atol=1e-4)
+    assert "AP/mean" in table and "abs diff" in table
+
+    # without a torch implementation the JAX column still prints
+    _, none_res, table2 = run_parity(
+        cfg, str(ckpt_path), str(data_dir), bundle=bundle,
+        reference_root=str(tmp_path))  # no dmmfods package there
+    assert none_res is None
+    assert "torch column skipped" in table2
