@@ -41,11 +41,22 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.fast)
+        if mod == "test_multiprocess":
+            # budget up to 1500 s each on a loaded 1-core host AND spawn
+            # compiling subprocesses — NEVER run these concurrently with a
+            # perf measurement (an r3 perf number was corrupted exactly
+            # this way; BASELINE.md "policy boundary"). Deselect with
+            # `pytest -m "not multiprocess"`.
+            item.add_marker(pytest.mark.multiprocess)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: compile-heavy (model/trainer) tests")
     config.addinivalue_line("markers", "fast: quick math/IO tier, runs in <1 min")
+    config.addinivalue_line(
+        "markers",
+        "multiprocess: spawns OS subprocesses that compile train steps; "
+        "excluded via -m 'not multiprocess' while perf runs are active")
 
 
 @pytest.fixture(scope="session")
