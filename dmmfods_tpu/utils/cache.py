@@ -24,51 +24,27 @@ def enable_persistent_cache(path: str | None = None) -> None:
 
 
 def jit_auto_out(fun, **jit_kwargs):
-    """``jax.jit`` with compiler-chosen OUTPUT layouts (TPU).
+    """``jax.jit`` with compiler-chosen OUTPUT layouts — OPT-IN only.
 
-    XLA's default heuristic assigns the jit boundary's output a "preferred"
-    host-oriented layout and inserts a full-size retile copy at the root to
-    honor it — measured 1.7 ms on the 1280x1920 b1 forward (a
-    ``{2,1,3,0}`` root copy + reshape of the logits, BASELINE.md r4).
-    ``Format(Layout.AUTO)`` lets the compiler keep the producer's layout;
-    host fetches (``np.asarray``) work with any layout, so serving/bench
-    forwards should always use this. Falls back to plain ``jit`` when the
-    layout API is unavailable.
+    History: XLA's default boundary heuristic inserts a full-size root
+    retile copy (measured 1.7 ms on the 1280x1920 b1 forward, BASELINE.md
+    r4), which ``Format(Layout.AUTO)`` removed — so r4 wired AUTO into the
+    serving/bench forwards by default. The r5 environment's device-server
+    build REGRESSED that: any AUTO-layout executable HANGS at execution
+    (reproduced on a trivial 512x512 matmul; the dispatch never completes
+    and the session wedges), and a hang cannot be caught in-process. AUTO
+    is therefore opt-in via ``DMMFODS_AUTO_OUT=1`` for environments where
+    it works; the default is plain ``jit`` everywhere.
     """
     import jax
 
-    # AUTO layouts are a TPU-compiler feature; on other backends (and when
-    # the layout API is missing) use plain jit outright rather than risking
-    # a trace/compile-time rejection at first call.
+    if os.environ.get("DMMFODS_AUTO_OUT", "") != "1":
+        return jax.jit(fun, **jit_kwargs)
     if jax.default_backend() != "tpu":
         return jax.jit(fun, **jit_kwargs)
     try:
         from jax.experimental.layout import Format, Layout
 
-        auto = jax.jit(fun, out_shardings=Format(Layout.AUTO), **jit_kwargs)
+        return jax.jit(fun, out_shardings=Format(Layout.AUTO), **jit_kwargs)
     except Exception:
         return jax.jit(fun, **jit_kwargs)
-
-    # The layout API can also fail at trace/compile time (backend rejects
-    # Format(Layout.AUTO)); degrade to plain jit on the FIRST call instead
-    # of surfacing an opaque layout error from serving/bench forwards. A
-    # genuine error in `fun` re-raises from the plain-jit retry.
-    state = {"fn": None}
-
-    def wrapped(*a, **kw):
-        if state["fn"] is not None:
-            return state["fn"](*a, **kw)
-        try:
-            out = auto(*a, **kw)
-            state["fn"] = auto
-            return out
-        except Exception:
-            fallback = jax.jit(fun, **jit_kwargs)
-            out = fallback(*a, **kw)  # real errors in fun re-raise here
-            state["fn"] = fallback
-            return out
-
-    # preserve the jit surface bench/serving relies on (lower/compile pass
-    # through to the AUTO-layout jit)
-    wrapped.lower = auto.lower
-    return wrapped
