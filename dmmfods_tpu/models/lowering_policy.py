@@ -115,7 +115,7 @@ def describe(spec, batch: int, height: int, width: int, *,
 
             strip_on = eligible(batch, ph, pw, c0, spec.growth_rate,
                                 num_layers, spec.bn_size, dtype_bytes,
-                                carry=strip_sel == "carry")
+                                carry=strip_sel in ("carry", "auto"))
         # DenseBlock's own gate (dense_unet_lidar.py DenseBlock.__call__)
         # does NOT route through _rows_ok — it admits training when
         # rows_train is set (and remat is off), so the policy must too.
@@ -126,7 +126,8 @@ def describe(spec, batch: int, height: int, width: int, *,
         if region:
             entry["impl"] = "rows_region"
         elif strip_on:
-            entry["impl"] = ("pallas_strip_carry" if strip_sel == "carry"
+            entry["impl"] = ("pallas_strip_carry"
+                             if strip_sel in ("carry", "auto")
                              else "pallas_strip")
         elif rows_block:
             entry["impl"] = "rows"

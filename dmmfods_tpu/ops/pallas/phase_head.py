@@ -58,7 +58,7 @@ def _kernel(*refs, rs, hh, hw, c_mid4, nc4, dt, n_parts):
     (xm1, x0, xp1), refs = refs[:3], refs[3:]
     parts, refs = refs[:3 * n_parts], refs[3 * n_parts:]
     (w0_ref, wall_ref, g0a_ref, b0a_ref, g0r_ref, b0r_ref,
-     g4_ref, b4_ref, out0_ref, out1_ref, srcx, contrib) = refs
+     g4_ref, b4_ref, out_ref, srcx, contrib) = refs
 
     j0 = pl.program_id(0) * rs
 
@@ -147,19 +147,23 @@ def _kernel(*refs, rs, hh, hw, c_mid4, nc4, dt, n_parts):
             blk = (r * 4 + s) * nc4
             acc += blk3[:, s:s + hw, blk:blk + nc4].astype(jnp.float32)
     # split by output row phase u: phase p = 2u+v occupies nc4/4-channel
-    # blocks, so u's channels [v=0 | v=1] are one contiguous half — the
-    # XLA epilogue then needs only FREE dim merges + a lane-efficient row
-    # interleave (an in-kernel full depth-to-space is an unsupported
-    # Mosaic shape cast, and as a plain XLA epilogue on the phase-stacked
-    # tensor the 6-lane intermediates cost 5.2 ms at full res)
+    # blocks, so u's channels [v=0 | v=1] are one contiguous half. The two
+    # u planes land INTERLEAVED in one (hh, 2, hw, nc4/2) output — two
+    # strided sub-block stores here make the entire depth-to-space a FREE
+    # row-major reshape in XLA ((hh, 2, hw, 2, n) -> (H, W, n) merges
+    # adjacent dims only), replacing the 1.9-2.7 ms stack interleave the
+    # two-plane form needed at full res (r4 attribution; an in-kernel full
+    # depth-to-space remains an unsupported Mosaic shape cast)
     half = nc4 // 2
-    out0_ref[...] = acc[:, :, :half].astype(dt)
-    out1_ref[...] = acc[:, :, half:].astype(dt)
+    out_ref[:, 0, :, :] = acc[:, :, :half].astype(dt)
+    out_ref[:, 1, :, :] = acc[:, :, half:].astype(dt)
 
 
 def phase_head_strip(x_lo2, raw_parts, w0p, w_all, g0, b0, g1, b1, *,
                      hh, hw, n_cls, rs=8, interpret=False):
-    """Run the strip kernel -> two ``(hh, hw, 2*n_cls)`` u-phase planes.
+    """Run the strip kernel -> one ``(hh, 2, hw, 2*n_cls)`` u-interleaved
+    plane (dim 1 is the output-row phase u; a free reshape finishes the
+    depth-to-space).
 
     ``x_lo2``: ``(hh, hw, c_up)`` decoder output (batch squeezed).
     ``raw_parts``: list of ``(hh, 2, hw, 2*wi)`` tensors — the raw input
@@ -243,14 +247,9 @@ def phase_head_strip(x_lo2, raw_parts, w0p, w_all, g0, b0, g1, b1, *,
         kern,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((rs, hw, nc4 // 2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((rs, hw, nc4 // 2), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((hh, hw, nc4 // 2), dt),
-            jax.ShapeDtypeStruct((hh, hw, nc4 // 2), dt),
-        ],
+        out_specs=pl.BlockSpec((rs, 2, hw, nc4 // 2),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((hh, 2, hw, nc4 // 2), dt),
         scratch_shapes=[
             pltpu.VMEM((rs + 4, hw + 1, 2 * c_in), dt),
             pltpu.VMEM((rs + 3, hw + 3, 16 * nc4), dt),
@@ -311,17 +310,14 @@ def phase_space_head_strip(x_lo, raw, *, g0, b0, g1, b1, w0p, w1p, dt,
         for p in raw_parts
     ]
 
-    o_u0, o_u1 = phase_head_strip(
+    y = phase_head_strip(
         x_lo2, parts4, w0p, w_all, g0, b0, g1, b1,
         hh=hh, hw=hw, n_cls=n_cls, rs=rs, interpret=interpret)
-    # depth-to-space, lane-efficient: each u plane's (hw, 2*n_cls) rows ARE
-    # output row 2i+u under a free W-merge ((hw, 2n)[j, v*n+c] row-major ==
-    # (2*hw*n,)[2n*j + n*v + c]); the only real op is the H interleave of
-    # two wide-lane planes — vs 5.2 ms of 6-lane slice/pad/copy when the
-    # depth-to-space ran on the phase-stacked (hh, hw, 4n) tensor.
-    # (r4 measured negative: expressing the interleave as a lane concat
-    # [u0 | u1] + order-preserving reshape — same element order — lowered
-    # WORSE, 2.8 ms vs the stack's 1.9 at full res; the stack form stands.)
-    wide = hw * 2 * n_cls
-    y = jnp.stack([o_u0.reshape(hh, wide), o_u1.reshape(hh, wide)], axis=1)
+    # the kernel emits the u-interleaved (hh, 2, hw, 2n) layout directly
+    # (two strided sub-block stores), so the whole depth-to-space is this
+    # ONE free row-major reshape: (hh, 2, hw, 2, n) -> merge (i,u) -> H and
+    # (j,v) -> W. History: a phase-stacked (hh, hw, 4n) epilogue cost
+    # 5.2 ms of 6-lane slice/pad/copy (r2); two u planes + H-interleave
+    # stack cost 1.9 ms and a lane-concat variant 2.8 ms (r4); the
+    # kernel-native interleave removes the epilogue copy entirely (r5).
     return y.reshape(1, H, W, n_cls)

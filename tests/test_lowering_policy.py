@@ -42,8 +42,16 @@ def test_policy_table_full_res_anchor():
                  use_fused_kernels=True)
     p = lowering_policy.describe(spec, 1, 1280, 1920, backend="tpu")
     assert p["stem"] == "s2d_rows"
+    # r5: auto resolves to the halo-carry strip kernel (measured better)
     assert [b["impl"] for b in p["blocks"]] == [
-        "pallas_strip", "pallas_strip", "buffer", "buffer"]
+        "pallas_strip_carry", "pallas_strip_carry", "buffer", "buffer"]
+    # the recompute kernel remains the explicit 'on' opt-in
+    p_on = lowering_policy.describe(
+        _tiny(dense_block_impl="concat,concat,buffer,buffer",
+              use_fused_kernels=True, dense_block_strip="on"),
+        1, 1280, 1920, backend="tpu")
+    assert [b["impl"] for b in p_on["blocks"]][:2] == [
+        "pallas_strip", "pallas_strip"]
     assert [b["zone"] for b in p["blocks"]] == ["big", "big", "mid", "mid"]
     assert p["head"] == "phase_strip"
     # same shape off-TPU: Pallas kernels fall back
@@ -132,6 +140,8 @@ SWEEP = [
     (512, 768, 1, dict(use_fused_kernels=True), "big-zone-s2d-b1"),
     (512, 768, 1, dict(use_fused_kernels=True, dense_block_strip="on",
                        stem_pool_strip="on"), "pallas-strips-interpret"),
+    (512, 768, 1, dict(use_fused_kernels=True, dense_block_strip="carry"),
+     "pallas-strip-carry-interpret"),
     (512, 768, 1, dict(use_fused_kernels=True, rows_region="on"),
      "rows-region"),
 ]
