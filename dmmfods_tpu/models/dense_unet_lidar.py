@@ -1489,12 +1489,6 @@ def _dense_u_net_lidar(arch, growth_rate, block_config, num_init_features,
             _, w, h = config.dataset.images.size
             init_hw = (h, w)
         seed = config.agent.seed if seed is None else seed
-        rgb = jnp.zeros((1, init_hw[0], init_hw[1], spec.stream_1_in_channels), spec.dtype)
-        lidar = (
-            jnp.zeros((1, init_hw[0], init_hw[1], spec.stream_2_in_channels), spec.dtype)
-            if spec.stream_2_in_channels > 0
-            else None
-        )
         # Init runs once: do it eagerly on the host CPU backend (a jit-compile
         # of the full graph costs minutes; eager dispatch to a remote TPU is
         # worse), then transfer the param tree to the default device in one go.
@@ -1506,6 +1500,20 @@ def _dense_u_net_lidar(arch, growth_rate, block_config, num_init_features,
         except RuntimeError:
             cpu0 = default
         with jax.default_device(cpu0):
+            # the zero inputs MUST be created inside this context: an input
+            # placed on the default accelerator drags every eager init op
+            # back there (r5 measured: 503 s of per-op tunnel round trips,
+            # and the session it leaves behind wedges later bulk transfers)
+            rgb = jnp.zeros(
+                (1, init_hw[0], init_hw[1], spec.stream_1_in_channels),
+                spec.dtype)
+            lidar = (
+                jnp.zeros(
+                    (1, init_hw[0], init_hw[1], spec.stream_2_in_channels),
+                    spec.dtype)
+                if spec.stream_2_in_channels > 0
+                else None
+            )
             variables = module.init(jax.random.PRNGKey(seed), rgb, lidar, False)
         if default.platform != "cpu":
             variables = jax.device_put(variables, default)
