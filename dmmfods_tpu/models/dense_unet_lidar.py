@@ -447,8 +447,16 @@ class DenseLayer(nn.Module):
     rows_boundary: int = 0    # sample height H when B > 1 (see _rows_conv3x3)
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        y = TorchBatchNorm(use_running_average=not train, name="norm1", dtype=self.dtype)(x)
+    def __call__(self, x, train: bool, norm1_stats=None):
+        # norm1_stats: optional PRE-COMPUTED (mean_b, var_biased) of x's
+        # channels (DenseBlock's shared-prefix stats — every layer's norm1
+        # reduces the SAME prefix channels, so the block computes each
+        # slab's stats once and passes the prefix slice here; exact, incl.
+        # the running-EMA update, via TorchBatchNorm.stats_override)
+        y = TorchBatchNorm(
+            use_running_average=not train, name="norm1", dtype=self.dtype
+        )(x, stats_override=norm1_stats,
+          virtual_n=(x.size // x.shape[-1]) if norm1_stats is not None else None)
         y = nn.relu(y)
         y = nn.Conv(
             self.bn_size * self.growth_rate, (1, 1), use_bias=False,
@@ -590,14 +598,17 @@ class DenseBlock(nn.Module):
                 growth=self.growth_rate, h=x.shape[1], w=x.shape[2],
             )
 
-        def layer(i, feats):
-            return layer_cls(
+        def layer(i, feats, norm1_stats=None):
+            mod = layer_cls(
                 growth_rate=self.growth_rate,
                 bn_size=self.bn_size,
                 drop_rate=self.drop_rate,
                 dtype=self.dtype,
                 name=f"denselayer{i + 1}",
-            )(feats, train)
+            )
+            if norm1_stats is not None:
+                return mod(feats, train, norm1_stats)
+            return mod(feats, train)
 
         if impl == "buffer":
             c0 = x.shape[-1]
@@ -610,9 +621,41 @@ class DenseBlock(nn.Module):
                 buf = lax.dynamic_update_slice(buf, new, (0, 0, 0, width))
             return buf
 
+        # Shared-prefix BN1 batch stats (train): layer l's norm1 reduces
+        # the channels of [x | y_0 | ... | y_{l-1}] — data every LATER
+        # layer reduces again. The per-channel stats depend only on that
+        # channel's slab, so compute each slab's (mean, E[x^2]) ONCE when
+        # it lands and hand each layer the prefix slice: O(L) reduction
+        # passes instead of O(L^2/2). Exact — same function, different
+        # graph factoring; autodiff and the per-layer running-EMA updates
+        # flow through the shared values. (measured: b128 raw-record train
+        # 88.7 -> see BASELINE.md r5 training section.)
+        share_stats = train and not self.is_initializing()
+
+        def ch_stats(t):
+            tf = t.astype(jnp.float32)
+            ax = tuple(range(t.ndim - 1))
+            return jnp.mean(tf, axis=ax), jnp.mean(jnp.square(tf), axis=ax)
+
+        means, msqs = [], []
+        if share_stats:
+            m0, q0 = ch_stats(x)
+            means.append(m0)
+            msqs.append(q0)
+
         features = x
         for i in range(self.num_layers):
-            new = layer(i, features)
+            stats = None
+            if share_stats:
+                mean = means[0] if len(means) == 1 else jnp.concatenate(means)
+                msq = msqs[0] if len(msqs) == 1 else jnp.concatenate(msqs)
+                var = jnp.maximum(msq - jnp.square(mean), 0.0)
+                stats = (mean, var)
+            new = layer(i, features, stats)
+            if share_stats:
+                ml, ql = ch_stats(new)
+                means.append(ml)
+                msqs.append(ql)
             features = jnp.concatenate([features, new], axis=-1)
         return features
 
