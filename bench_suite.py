@@ -43,7 +43,9 @@ def _build(config_overrides, h, w, dtype="bfloat16"):
     for key, value in config_overrides.items():
         cfg.model[key] = value
     ctor = densenet201_u_lidar if arch == "201" else densenet121_u_lidar
-    return ctor(config=cfg, init_hw=(h, w)), cfg
+    # params are resolution-independent: init on a small plane (full-res
+    # eager init costs minutes of 1-core CPU)
+    return ctor(config=cfg, init_hw=(min(h, 160), min(w, 224))), cfg
 
 
 def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="bfloat16"):
@@ -72,11 +74,11 @@ def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="
     # sustained: back-to-back dispatch, force completion once — the
     # pipelined-serving number; per-call sync timing additionally pays a
     # ~30 ms (and noisy) host<->device round trip on a tunneled chip
-    from dmmfods_tpu.utils.timing import sustained_step_time
+    from dmmfods_tpu.utils.timing import scanned_step_time, sustained_step_time
     sustained = sustained_step_time(
         lambda v, a, b: forward(v, a, b), (variables, rgb, lidar),
         steps=max(steps, 10))
-    return {
+    result = {
         "config": name,
         "resolution": f"{h}x{w}",
         "batch": batch,
@@ -86,6 +88,16 @@ def bench_inference(name, overrides, h, w, batch, steps, *, device=None, dtype="
         "sustained_frames_per_s": round(batch / sustained, 1),
         "params": bundle.num_params,
     }
+    if sustained < 0.02 or device is None:
+        # sub-RPC-cost steps: the dispatch loop is host-bound on a tunneled
+        # chip (whenever per-dispatch RPC > step time it measures the HOST,
+        # not the device) — chain steps inside one dispatch instead
+        scanned = scanned_step_time(
+            lambda v, a, b: forward(v, a, b), (variables, rgb, lidar),
+            steps=120)
+        result["scanned_step_s"] = round(scanned, 6)
+        result["scanned_frames_per_s"] = round(batch / scanned, 1)
+    return result
 
 
 def bench_train_dp(steps=6, mode="host"):
@@ -297,11 +309,45 @@ def _run_cpu_config1(steps):
 
 
 def main():
+    import os
+    import subprocess
+    import sys
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", default="1,2,3,4,5")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--json", default="")
+    parser.add_argument("--no-isolate", action="store_true",
+                        help="run every config in THIS process (default: one "
+                             "subprocess per config — long-lived tunnel "
+                             "sessions degrade as they accumulate state, "
+                             "measured r5: per-call RTT 30 -> 400+ ms by the "
+                             "third config in one session)")
     args = parser.parse_args()
+
+    keys = [k.strip() for k in args.configs.split(",")]
+    if not args.no_isolate and len(keys) > 1:
+        results = []
+        for key in keys:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--configs", key, "--steps", str(args.steps),
+                   "--no-isolate"]
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            parsed = None
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    parsed = json.loads(line)
+                    print(line, flush=True)
+            if parsed is None:
+                parsed = {"config": key,
+                          "error": (proc.stderr or proc.stdout)[-400:]}
+                print(json.dumps(parsed), flush=True)
+            results.append(parsed)
+        if args.json:
+            with open(args.json, "w") as fh:
+                json.dump(results, fh, indent=2)
+        return
 
     if args.configs.strip() == "1":
         # config 1 is CPU-only: avoid attaching the TPU client at all
@@ -310,8 +356,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     results = []
-    for key in args.configs.split(","):
-        key = key.strip()
+    for key in keys:
         try:
             result = CONFIGS[key](args.steps)
         except Exception as exc:  # record failures, keep going
