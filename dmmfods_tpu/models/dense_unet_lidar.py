@@ -148,6 +148,11 @@ class ModelSpec:
     # only the interpret/CPU path (tests), 'force' is the explicit unsafe
     # hardware opt-in, 'off' disables.
     stem_pool_strip: str = "auto"
+    # shared-prefix BN1 batch stats in the dense-block train path (exact
+    # regrouping, O(L) stat passes — BASELINE.md r5 training section).
+    # False restores per-layer reductions (the vjp-lowering oracles pin
+    # against that grouping).
+    share_bn_stats: bool = True
     # training-only: route the decoder stages' BNs (norm0 sits on the
     # skip-concat fan-out) through the analytic custom-VJP backward
     # (ops/normalization.bn_train_apply). The GLOBAL flip is a measured
@@ -207,6 +212,7 @@ class ModelSpec:
                 tpu.get("dense_block_strip", "auto"))
             kwargs["stem_pool_strip"] = str(
                 tpu.get("stem_pool_strip", "auto"))
+            kwargs["share_bn_stats"] = bool(tpu.get("share_bn_stats", True))
             kwargs["decoder_bn_vjp"] = bool(tpu.get("decoder_bn_vjp", False))
         kwargs.update(overrides)
         return cls(**kwargs)
@@ -504,6 +510,11 @@ class DenseBlock(nn.Module):
     rows_max_batch: int = 16
     rows_train: bool = False
     strip: str = "off"           # ModelSpec.dense_block_strip
+    # shared-prefix BN1 batch stats in the train concat path (see below);
+    # False restores per-layer stat reductions — used by the vjp-vs-concat
+    # exactness oracles, whose reference must match the vjp lowering's
+    # reduction grouping bit-for-bit
+    share_stats: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool, rows_meta=None):
@@ -630,7 +641,8 @@ class DenseBlock(nn.Module):
         # graph factoring; autodiff and the per-layer running-EMA updates
         # flow through the shared values. (measured: b128 raw-record train
         # 88.7 -> see BASELINE.md r5 training section.)
-        share_stats = train and not self.is_initializing()
+        share_stats = (self.share_stats and train
+                       and not self.is_initializing())
 
         def ch_stats(t):
             tf = t.astype(jnp.float32)
@@ -940,6 +952,7 @@ class Encoder(nn.Module):
                 rows_max_batch=spec.rows_max_batch,
                 rows_train=spec.rows_train,
                 strip=spec.dense_block_strip,
+                share_stats=spec.share_bn_stats,
                 name=f"denseblock{i + 1}",
             )(x, train, rows_meta=(b, h_cur) if region else None)
             num_features += num_layers * spec.growth_rate
@@ -1444,6 +1457,7 @@ class DenseUNetLidar(nn.Module):
                 rows_max_batch=spec.rows_max_batch,
                 rows_train=spec.rows_train,
                 strip=spec.dense_block_strip,
+                share_stats=spec.share_bn_stats,
                 name=f"features_denseblock{i + 1}",
             )(x, train, rows_meta=(b, h_cur) if region else None)
             num_features += num_layers * spec.growth_rate

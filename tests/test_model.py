@@ -150,7 +150,12 @@ def test_vjp_dense_block_matches_concat_autodiff():
     plain autodiff of the concat lowering: same logits, same loss gradients
     (forward math and chain rule are identical; only the residual strategy
     differs), and same running-stat EMA updates."""
-    spec_c = _tiny_spec(dense_block_impl="concat")
+    # share_bn_stats=False: the vjp lowering computes per-layer stats, so
+    # the concat reference must use the same reduction grouping (the
+    # shared-prefix form is exact but reassociates — its equivalence is
+    # pinned by test_lowering_numerics_train_mode and the torch
+    # train-trajectory parity test)
+    spec_c = _tiny_spec(dense_block_impl="concat", share_bn_stats=False)
     spec_v = _tiny_spec(dense_block_impl="vjp")
     mod_c = DenseUNetLidar(spec_c)
     mod_v = DenseUNetLidar(spec_v)
@@ -229,7 +234,9 @@ def test_vjp_dense_block_exact_in_f64():
         norm_mod.USE_CUSTOM_VJP = False
         kw = dict(num_layers=3, growth_rate=8, bn_size=4, drop_rate=0.0,
                   dtype=jnp.float64)
-        blk_c = DenseBlock(impl="concat", **kw)
+        # share_stats=False: bit-exact oracle needs the vjp lowering's
+        # per-layer stat reduction grouping on the reference side too
+        blk_c = DenseBlock(impl="concat", share_stats=False, **kw)
         blk_v = DenseBlock(impl="vjp", **kw)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16), jnp.float64)
         variables = blk_c.init(jax.random.PRNGKey(1), x, True)
